@@ -1,0 +1,109 @@
+"""cmad_tpu headline benchmark: integration-point stress updates/sec.
+
+The north-star metric (BASELINE.json): the per-IP elastic-plastic
+return-map throughput — the hot loop of COUPLED FE assembly. Runs the
+batched J2+Voce return map (elastic predictor + local Newton corrector
+with IFT tangents) on the default jax backend (the TPU when present) in
+float32, over the same workload measured for the reference on host CPU by
+``benchmarks/measure_reference_baseline.py``.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("CMAD_X64", "0")  # float32 on the accelerator
+
+REPO_ROOT = Path(__file__).resolve().parent
+
+
+def measure_ours(batch: int = 131072, reps: int = 10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmad_tpu.models.small_rate_elastic_plastic import (
+        SmallRateElasticPlastic,
+    )
+    from cmad_tpu.ops.return_map import make_batched_return_map
+    from cmad_tpu.parameters.parameters import Parameters
+
+    values = {
+        "rotation matrix": np.eye(3),
+        "elastic": {"E": 200e3, "nu": 0.3},
+        "plastic": {
+            "effective stress": {"J2": 0.0},
+            "flow stress": {"initial yield": {"Y": 200.0},
+                            "hardening": {"voce": {"S": 200.0, "D": 20.0}}}}}
+    params = Parameters(values)
+    model = SmallRateElasticPlastic(params)
+    step = make_batched_return_map(model)
+
+    rng = np.random.RandomState(0)
+    eps = rng.normal(0.0, 1.5e-3, size=(batch, 3, 3))
+    eps = 0.5 * (eps + np.transpose(eps, (0, 2, 1)))
+    dtype = jnp.float32
+    grad_u = jnp.asarray(eps, dtype=dtype)
+    grad_u_prev = jnp.zeros((batch, 3, 3), dtype=dtype)
+    xi_prev = jnp.zeros((batch, model.num_dofs), dtype=dtype)
+
+    xi, sigma = step(xi_prev, grad_u, grad_u_prev, params.values)
+    jax.block_until_ready((xi, sigma))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        xi, sigma = step(xi_prev, grad_u, grad_u_prev, params.values)
+    jax.block_until_ready((xi, sigma))
+    dt = time.perf_counter() - t0
+
+    # convergence sanity: residual at the returned state
+    C = model.C_batched(xi, xi_prev, params.values,
+                        _fields(grad_u), _fields(grad_u_prev))
+    max_res = float(jnp.max(jnp.linalg.norm(C, axis=-1)))
+    frac_plastic = float((np.asarray(xi[:, 6]) > 0).mean())
+
+    backend = jax.default_backend()
+    return batch * reps / dt, max_res, frac_plastic, backend
+
+
+def _fields(grad_u):
+    import jax.numpy as jnp
+
+    from cmad_tpu.models.global_fields import GlobalFieldsAtPoint
+    batch = grad_u.shape[0]
+    return GlobalFieldsAtPoint(
+        fields={"u": jnp.zeros((batch, 3), dtype=grad_u.dtype)},
+        grad_fields={"u": grad_u})
+
+
+def main() -> None:
+    baseline_file = REPO_ROOT / "BASELINE_MEASURED.json"
+    if baseline_file.exists():
+        baseline = json.loads(baseline_file.read_text())["value"]
+    else:
+        baseline = None
+
+    ups, max_res, frac_plastic, backend = measure_ours()
+
+    result = {
+        "metric": "ip_stress_updates_per_sec",
+        "value": round(ups, 1),
+        "unit": "updates/s",
+        "vs_baseline": round(ups / baseline, 2) if baseline else None,
+        "backend": backend,
+        "max_residual": max_res,
+        "frac_plastic": frac_plastic,
+        "baseline": baseline,
+        "baseline_hardware": "reference cmad on host CPU (float64)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
