@@ -1,0 +1,42 @@
+"""``cmad gradient`` — (J, grad) via the chosen sensitivity strategy.
+
+Parity: reference ``cmad/cli/gradient.py:40``.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+from cmad_tpu.cli.common import build_mp_problem, resolve_output
+from cmad_tpu.cli.sensitivity import build_sensitivity_driver
+from cmad_tpu.io.deck import load_deck, unwrap_top_level
+from cmad_tpu.io.writers import write_grad, write_J, write_resolved_deck
+
+
+def run_gradient(deck_path: Path) -> int:
+    deck = unwrap_top_level(load_deck(deck_path))
+    problem_type = deck["problem"]["type"]
+    if problem_type == "material_point":
+        return _run_gradient_mp(deck_path)
+    if problem_type == "fe":
+        from cmad_tpu.cli.fe_subcommands import run_gradient_fe
+        return run_gradient_fe(deck_path)
+    raise ValueError(
+        f"unsupported problem.type {problem_type!r}; expected "
+        f"'material_point' or 'fe'")
+
+
+def _run_gradient_mp(deck_path: Path) -> int:
+    problem = build_mp_problem(deck_path, "gradient")
+    assert problem.qoi is not None
+
+    driver = build_sensitivity_driver(
+        problem.resolved["sensitivity"], problem.qoi, problem.F,
+        problem.resolved["solver"]["newton"], subcommand="gradient")
+    x = problem.parameters.flat_active_values(return_canonical=True)
+    result = driver.evaluate_grad(x)
+
+    out_dir, prefix, fmt = resolve_output(problem.resolved)
+    write_resolved_deck(out_dir, prefix, problem.resolved)
+    write_J(out_dir, prefix, result.J)
+    write_grad(out_dir, prefix, result.grad, fmt)
+    return 0

@@ -115,6 +115,59 @@ def make_newton_solve(
     return solve
 
 
+def make_newton_solve_with_stats(
+        residual: Callable[..., JaxArray],
+        max_iters: int = 10,
+        abs_tol: float | None = None,
+        rel_tol: float | None = None,
+        line_search_settings: dict[str, Any] | None = None,
+) -> Callable[..., tuple[JaxArray, JaxArray, JaxArray]]:
+    """Traced Newton returning ``(x*, iters, final_norm)``.
+
+    Primal-only variant (no custom_jvp) so subcommands can log per-step
+    solver diagnostics (solver.json) without a second pass. Do not
+    differentiate through it — use :func:`make_newton_solve` for AD.
+    """
+    if abs_tol is None or rel_tol is None:
+        d_abs, d_rel = config.newton_tols("mp_local")
+        abs_tol = d_abs if abs_tol is None else abs_tol
+        rel_tol = d_rel if rel_tol is None else rel_tol
+    ls = {**DEFAULT_LINE_SEARCH_SETTINGS, **(line_search_settings or {})}
+
+    def solve(x0, *args):
+        flat0, unravel = ravel_pytree(x0)
+
+        def r_flat(xf):
+            return ravel_pytree(residual(unravel(xf), *args))[0]
+
+        r0 = r_flat(flat0)
+        norm0 = jnp.linalg.norm(r0)
+
+        def cond_fn(carry):
+            it, x, r = carry
+            norm = jnp.linalg.norm(r)
+            done = jnp.logical_or(norm < abs_tol, norm / norm0 < rel_tol)
+            return jnp.logical_and(it < max_iters, ~done)
+
+        def body_fn(carry):
+            it, x, r = carry
+            J = jacfwd(r_flat)(x)
+            dx = jnp.linalg.solve(J, r)
+
+            def probe(alpha):
+                r_trial = r_flat(x - alpha * dx)
+                return 0.5 * (r_trial @ r_trial), None, r_trial
+
+            alpha, r_next = line_search(probe, 0.5 * (r @ r), -(r @ r),
+                                        ls, r)
+            return it + 1, x - alpha * dx, r_next
+
+        it, x_star, r_star = while_loop(cond_fn, body_fn, (0, flat0, r0))
+        return unravel(x_star), it, jnp.linalg.norm(r_star)
+
+    return solve
+
+
 def batched_newton_solve(
         residual: Callable[..., JaxArray],
         x0_batch: JaxArray,

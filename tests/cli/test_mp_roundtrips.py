@@ -1,0 +1,193 @@
+"""End-to-end CLI round-trips (material point).
+
+Mirrors the reference ``tests/cli`` strategy: write a deck + data files
+into a tempdir, invoke ``cmad_tpu.cli.main.main([...])``, and assert on
+the emitted artifacts.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from cmad_tpu.cli.main import main as cmad_main
+from cmad_tpu.models.deformation_types import DefType
+from cmad_tpu.models.small_rate_elastic_plastic import SmallRateElasticPlastic
+
+from tests.support.drivers import run_strain_controlled_history
+from tests.support.problems import J2AnalyticalProblem
+
+NUM_STEPS = 20
+
+
+def _params_section():
+    return {
+        "elastic": {"E": {"value": 200e3}, "nu": {"value": 0.3}},
+        "plastic": {
+            "effective stress": {"J2": {"value": 0.0}},
+            "flow stress": {
+                "initial yield": {
+                    "Y": {"value": 200.0, "active": True,
+                          "transform": {"log": 200.0}}},
+                "hardening": {
+                    "voce": {
+                        "S": {"value": 200.0, "active": True,
+                              "transform": {"bounds": [100.0, 300.0]}},
+                        "D": {"value": 20.0, "active": True,
+                              "transform": {"bounds": [10.0, 30.0]}}}}}},
+    }
+
+
+def _ramp_F(num_steps=NUM_STEPS):
+    """Plane-stress eps_xx ramp to 1.5% (passes through yield)."""
+    eps = np.r_[0.0, np.linspace(0.0008, 0.015, num_steps)]
+    F = np.repeat(np.eye(2)[:, :, None], num_steps + 1, axis=2)
+    F[0, 0, :] += eps
+    return F
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    """Deck + drive + synthetic data files in a tempdir."""
+    F = _ramp_F()
+    np.save(tmp_path / "F.npy", F)
+
+    # truth data from the model itself (plus an offset for nonzero J)
+    problem = J2AnalyticalProblem(scale_params=False)
+    model = SmallRateElasticPlastic(problem.J2_parameters,
+                                    def_type=DefType.PLANE_STRESS)
+    cauchy, _ = run_strain_controlled_history(model, F)
+    np.save(tmp_path / "data.npy", cauchy)
+
+    deck = {
+        "problem": {"type": "material_point", "name": "roundtrip"},
+        "model": {"name": "small_rate_elastic_plastic",
+                  "def_type": "plane_stress"},
+        "parameters": _params_section(),
+        "deformation": {"history_file": str(tmp_path / "F.npy")},
+        "solver": {"newton": {}},
+        "qoi": {"name": "calibration",
+                "data_file": str(tmp_path / "data.npy"),
+                "weight": [[1.0, 0.0, 0.0],
+                           [0.0, 1.0, 0.0],
+                           [0.0, 0.0, 0.0]]},
+        "sensitivity": {"type": "adjoint"},
+        "output": {"path": str(tmp_path / "out")},
+    }
+    return tmp_path, deck, cauchy
+
+
+def _write_deck(tmp_path, deck, drop=()):
+    deck = {k: v for k, v in deck.items() if k not in drop}
+    path = tmp_path / "deck.yaml"
+    path.write_text(yaml.safe_dump(deck))
+    return path
+
+
+def test_primal_roundtrip(workspace):
+    tmp_path, deck, cauchy_true = workspace
+    deck_path = _write_deck(tmp_path, deck,
+                            drop=("qoi", "sensitivity"))
+    assert cmad_main(["primal", str(deck_path)]) == 0
+
+    out = tmp_path / "out"
+    written = np.load(out / "cauchy.npy")
+    assert np.allclose(written, cauchy_true, atol=1e-8)
+    solver_log = json.loads((out / "solver.json").read_text())
+    assert len(solver_log) == NUM_STEPS
+    assert all(e["final_residual"] < 1e-12 for e in solver_log)
+    assert (out / "deck.resolved.yaml").exists()
+    xi = np.load(out / "xi.npy")
+    assert xi.shape[0] == NUM_STEPS + 1
+    # alpha grows once plastic
+    assert xi[-1, 6] > 0.0
+
+
+def test_objective_roundtrip(workspace):
+    tmp_path, deck, _ = workspace
+    deck_path = _write_deck(tmp_path, deck, drop=("sensitivity",))
+    assert cmad_main(["objective", str(deck_path)]) == 0
+    J = json.loads((tmp_path / "out" / "J.json").read_text())["J"]
+    # data came from the same parameters: perfect match
+    assert J < 1e-12
+
+
+def test_gradient_hessian_cross_check(workspace):
+    tmp_path, deck, _ = workspace
+    # offset the parameters so J, grad are nonzero
+    deck["parameters"]["plastic"]["flow stress"]["initial yield"]["Y"][
+        "value"] = 220.0
+
+    grads = {}
+    for strategy in ("adjoint", "direct", "jvp"):
+        deck["sensitivity"] = {"type": strategy}
+        deck["output"] = {"path": str(tmp_path / f"out_{strategy}")}
+        deck_path = _write_deck(tmp_path, deck)
+        assert cmad_main(["gradient", str(deck_path)]) == 0
+        grads[strategy] = np.load(
+            tmp_path / f"out_{strategy}" / "grad.npy")
+
+    assert np.allclose(grads["adjoint"], grads["direct"], rtol=1e-8)
+    assert np.allclose(grads["adjoint"], grads["jvp"], rtol=1e-6)
+
+    hessians = {}
+    for strategy in ("direct_adjoint", "jvp"):
+        deck["sensitivity"] = {"type": strategy}
+        deck["output"] = {"path": str(tmp_path / f"hess_{strategy}")}
+        deck_path = _write_deck(tmp_path, deck)
+        assert cmad_main(["hessian", str(deck_path)]) == 0
+        hessians[strategy] = np.load(
+            tmp_path / f"hess_{strategy}" / "hess.npy")
+    assert np.allclose(hessians["direct_adjoint"], hessians["jvp"],
+                       rtol=1e-6, atol=1e-10)
+
+
+def test_hessian_rejects_first_order_strategy(workspace):
+    tmp_path, deck, _ = workspace
+    deck["sensitivity"] = {"type": "adjoint"}
+    deck_path = _write_deck(tmp_path, deck)
+    with pytest.raises(ValueError, match="direct_adjoint"):
+        cmad_main(["hessian", str(deck_path)])
+
+
+def test_calibrate_recovers_truth(workspace):
+    tmp_path, deck, _ = workspace
+    # start away from the data-generating truth
+    fs = deck["parameters"]["plastic"]["flow stress"]
+    fs["initial yield"]["Y"]["value"] = 160.0
+    fs["hardening"]["voce"]["S"]["value"] = 150.0
+    fs["hardening"]["voce"]["D"]["value"] = 25.0
+    deck["sensitivity"] = {"type": "adjoint"}
+    deck["optimizer"] = {"algorithm": "L-BFGS-B",
+                         "options": {"maxiter": 60}}
+    deck_path = _write_deck(tmp_path, deck)
+    assert cmad_main(["calibrate", str(deck_path)]) == 0
+
+    out = tmp_path / "out"
+    status = json.loads((out / "opt_status.json").read_text())
+    assert status["fun"] < 1e-6
+    opt_params = yaml.safe_load((out / "opt_params.yaml").read_text())
+    fs_opt = opt_params["plastic"]["flow stress"]
+    assert abs(fs_opt["initial yield"]["Y"]["value"] - 200.0) < 1.0
+    history = json.loads((out / "opt_history.json").read_text())
+    assert len(history["history"]) >= 2
+    assert "active_param_paths" in history
+
+
+def test_schema_rejects_bad_deck(workspace):
+    tmp_path, deck, _ = workspace
+    deck["model"]["def_type"] = "bogus"
+    deck_path = _write_deck(tmp_path, deck, drop=("qoi", "sensitivity"))
+    with pytest.raises(ValueError, match="deck validation failed"):
+        cmad_main(["primal", str(deck_path)])
+
+
+def test_unknown_model_rejected(workspace):
+    tmp_path, deck, _ = workspace
+    deck["model"]["name"] = "not_a_model"
+    deck_path = _write_deck(tmp_path, deck, drop=("qoi", "sensitivity"))
+    with pytest.raises(ValueError, match="not registered"):
+        cmad_main(["primal", str(deck_path)])
