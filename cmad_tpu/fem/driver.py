@@ -1,0 +1,120 @@
+"""Quasi-static time-loop driver.
+
+Parity: reference ``cmad/fem/driver.py``.
+``build_fe_quasistatic_trajectory`` returns a JAX-pure closure (one
+``lax.scan`` over the schedule, each step an IFT FE-Newton, optional QoI
+accumulation); ``fe_quasistatic_drive`` is the imperative wrapper that
+materializes the stacked outputs into an :class:`FEState`.
+"""
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from jax import debug, jit, lax
+
+from cmad_tpu import config
+from cmad_tpu.fem.assembly import params_by_block_from_models
+from cmad_tpu.fem.fe_problem import FEProblem, FEState
+from cmad_tpu.fem.kernel_arrays import FEKernelArrays
+from cmad_tpu.fem.nonlinear_solver import (
+    DEFAULT_LINEAR_SOLVER_SETTINGS,
+    _fe_newton_solve_ad,
+    default_nonlinear_settings,
+    freeze_settings,
+)
+from cmad_tpu.typing import JaxArray, Params
+
+# (U_init, xi_init_by_block)
+StateInit = tuple
+
+
+def build_fe_quasistatic_trajectory(
+        fe_problem: FEProblem,
+        nonlinear_solver_settings: dict[str, Any] | None = None,
+        linear_solver_settings: dict[str, Any] | None = None):
+    """JAX-pure closure: ``trajectory(fe_arrays, params_by_block,
+    state_init, t_schedule, qoi_step_contribution=None) ->
+    (U_steps, xi_steps_by_block, J)``."""
+    nls = {**default_nonlinear_settings(),
+           **(nonlinear_solver_settings or {})}
+    lss = {**DEFAULT_LINEAR_SOLVER_SETTINGS,
+           **(linear_solver_settings or {})}
+    print_steps = nls["print convergence"]
+    nls_frozen, lss_frozen = freeze_settings(nls), freeze_settings(lss)
+
+    def trajectory(fe_arrays: FEKernelArrays,
+                   params_by_block: Mapping[str, Params],
+                   state_init: StateInit, t_schedule: JaxArray,
+                   qoi_step_contribution=None):
+        U_init, xi_init_by_block = state_init
+
+        def step_fn(carry, inputs):
+            step_idx, t = inputs
+            U_prev, xi_prev, t_prev, J = carry
+            if print_steps:
+                debug.print("ON PRIMAL STEP ({s}) at t={t:.6e}",
+                            s=step_idx + 1, t=t)
+            U, xi_solved = _fe_newton_solve_ad(
+                fe_problem, fe_arrays, params_by_block, U_prev, xi_prev,
+                t, nls_frozen, lss_frozen)
+            # only COUPLED blocks evolve; the rest echo forward
+            xi = {**xi_prev, **xi_solved}
+            if qoi_step_contribution is not None:
+                J = J + qoi_step_contribution(U, U_prev, xi, xi_prev, t,
+                                              t_prev)
+            return (U, xi, t, J), (U, xi)
+
+        n_steps = t_schedule.shape[0] - 1
+        carry0 = (U_init, xi_init_by_block, t_schedule[0], jnp.zeros(()))
+        (_, _, _, J), (U_steps, xi_steps) = lax.scan(
+            step_fn, carry0, (jnp.arange(n_steps), t_schedule[1:]))
+        return U_steps, xi_steps, J
+
+    return trajectory
+
+
+def fe_quasistatic_drive(fe_problem: FEProblem,
+                         t_schedule: Sequence[float],
+                         U_init: np.ndarray | None = None,
+                         qoi=None, **solver_kwargs):
+    """Imperative drive: seed FEState at t_schedule[0], run the scanned
+    trajectory under one jit, materialize history. Returns (state, J)."""
+    if len(t_schedule) < 2:
+        raise ValueError(
+            f"t_schedule needs >= 2 entries; got {len(t_schedule)}")
+
+    state = FEState.from_problem(fe_problem, t_init=t_schedule[0],
+                                 U_init=U_init)
+
+    # eager cross-BC value-consistency validation at concrete step times
+    dbc_arrays = fe_problem.kernel_arrays.dbc_arrays
+    for t in t_schedule[1:]:
+        fe_problem.dof_map.evaluate_prescribed_values(dbc_arrays, t)
+
+    dtype = config.real_dtype()
+    params_by_block = params_by_block_from_models(fe_problem)
+    fe_arrays = fe_problem.kernel_arrays
+    state_init = (jnp.asarray(state.U_at(0), dtype=dtype),
+                  {b: jnp.asarray(state.xi_at(0, b))
+                   for b in fe_problem.models_by_block})
+    t_jax = jnp.asarray(list(t_schedule), dtype=dtype)
+
+    trajectory = build_fe_quasistatic_trajectory(fe_problem,
+                                                 **solver_kwargs)
+
+    def run(params_by_block, state_init, fe_arrays):
+        step = (qoi.step_contribution(params_by_block, fe_arrays)
+                if qoi is not None else None)
+        return trajectory(fe_arrays, params_by_block, state_init, t_jax,
+                          qoi_step_contribution=step)
+
+    U_steps, xi_steps, J = jit(run)(params_by_block, state_init, fe_arrays)
+
+    for i in range(U_steps.shape[0]):
+        state.append(np.asarray(U_steps[i]),
+                     {b: np.asarray(xi_steps[b][i]) for b in xi_steps},
+                     t_new=float(t_schedule[i + 1]))
+    return state, J

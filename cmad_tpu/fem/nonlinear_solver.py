@@ -1,0 +1,259 @@
+"""Global FE Newton with implicit-function AD.
+
+Parity: reference ``cmad/fem/nonlinear_solver.py:46-542``. The forward
+iteration is a ``lax.while_loop`` (assemble -> embedded-BC enforce ->
+linear-solver dispatch -> optional cubic line search reusing the trial
+assembly); AD over the converged ``(U*, xi*)`` comes from a ``custom_jvp``
+implementing the FE-level implicit function theorem
+
+    U*_dot = -K^{-1} (dr/dp . p_dot)   at U*,
+
+solved through the same linear-solver dispatch so the K-side cotangent
+flows via the solver's custom_linear_solve rules; xi*_dot follows by
+chained jvp of the assembly's xi output.
+"""
+from __future__ import annotations
+
+from collections.abc import Mapping
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cmad_tpu import config
+from cmad_tpu.fem.assembly import assemble_global
+from cmad_tpu.fem.fe_problem import FEProblem
+from cmad_tpu.fem.kernel_arrays import FEKernelArrays
+from cmad_tpu.fem.sparse_solve import (
+    _bcsr_operator,
+    _embedded_bc_enforce,
+    _embedded_residual,
+    jax_block_gmres,
+    jax_cg,
+    jax_gmres,
+    scipy_lu,
+)
+from cmad_tpu.typing import JaxArray, Params, Scalar
+from cmad_tpu.util.line_search import DEFAULT_LINE_SEARCH_SETTINGS, line_search
+
+
+def default_nonlinear_settings() -> dict[str, Any]:
+    abs_tol, rel_tol = config.newton_tols("fe_global")
+    return {"max iters": 20, "abs tol": abs_tol, "rel tol": rel_tol,
+            "print convergence": False,
+            "line search": DEFAULT_LINE_SEARCH_SETTINGS}
+
+
+DEFAULT_LINEAR_SOLVER_SETTINGS: dict[str, Any] = {
+    "type": "direct", "rtol": 1.0e-10, "max iters": None, "restart": 20,
+    "preconditioner": {"type": "jacobi"},
+}
+
+
+class _FrozenDict(tuple):
+    """Hashable dict carrier for custom_jvp nondiff_argnums."""
+
+
+def freeze_settings(value: Any) -> Any:
+    if isinstance(value, Mapping):
+        return _FrozenDict((k, freeze_settings(v))
+                           for k, v in sorted(value.items()))
+    if isinstance(value, list):
+        return tuple(freeze_settings(v) for v in value)
+    return value
+
+
+def thaw_settings(value: Any) -> Any:
+    if isinstance(value, _FrozenDict):
+        return {k: thaw_settings(v) for k, v in value}
+    if isinstance(value, tuple):
+        return [thaw_settings(v) for v in value]
+    return value
+
+
+def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
+                 fe_arrays: FEKernelArrays, rhs: JaxArray,
+                 settings: dict[str, Any]) -> JaxArray:
+    """Dispatch on settings['type'] (direct | cg | gmres) and the
+    preconditioner spec (jacobi | block)."""
+    sparsity = fe_arrays.embedded_sparsity
+    kind = settings["type"]
+    if kind == "direct":
+        return scipy_lu(K_data, sparsity, rhs)
+
+    precon_spec = settings.get("preconditioner", {"type": "jacobi"})
+    precon = precon_spec["type"]
+
+    if kind == "cg":
+        if precon == "jacobi":
+            return jax_cg(K_data, sparsity, rhs, rtol=settings["rtol"],
+                          max_iters=settings["max iters"])
+        raise ValueError(
+            f"unknown cg preconditioner {precon!r}; this build supports "
+            "'jacobi' (no pyamg — use gmres + block/chebyshev for "
+            "multilevel-grade preconditioning)")
+    if kind == "gmres":
+        if precon == "jacobi":
+            return jax_gmres(K_data, sparsity, rhs, rtol=settings["rtol"],
+                             max_iters=settings["max iters"],
+                             restart=settings["restart"])
+        if precon == "block":
+            if fe_arrays.block_sparsity is None:
+                raise ValueError(
+                    "block preconditioner requires > 1 residual block")
+            return jax_block_gmres(
+                K_data, sparsity, rhs, fe_arrays.block_sparsity,
+                coupling=precon_spec.get("coupling", "lower"),
+                diagonal_block=precon_spec.get("diagonal_block",
+                                               "assembled"),
+                inner=precon_spec.get("inner", "jacobi"),
+                degree=precon_spec.get("degree"),
+                rtol=settings["rtol"], max_iters=settings["max iters"],
+                restart=settings["restart"])
+        raise ValueError(
+            f"unknown gmres preconditioner {precon!r}; expected 'jacobi' "
+            "or 'block'")
+    raise ValueError(
+        f"unknown linear solver type {kind!r}; expected 'direct', 'cg', "
+        "or 'gmres'")
+
+
+def _fe_newton_primal(fe_problem, fe_arrays, params_by_block, U_prev,
+                      xi_prev_by_block, t, nls, lss):
+    max_iters = nls["max iters"]
+    abs_tol, rel_tol = nls["abs tol"], nls["rel tol"]
+    ls = {**DEFAULT_LINE_SEARCH_SETTINGS, **nls.get("line search", {})}
+    ls_max_evals = ls["max evals"]
+
+    presc_idx = fe_arrays.prescribed_indices
+    presc_vals = jnp.asarray(fe_problem.dof_map.evaluate_prescribed_values(
+        fe_arrays.dbc_arrays, t))
+    sparsity = fe_arrays.embedded_sparsity
+
+    def assemble_enforced(U):
+        K_bcoo, R, xi = assemble_global(
+            fe_problem, fe_arrays, params_by_block, U, U_prev, t,
+            xi_prev_by_block=xi_prev_by_block)
+        K_data, K_ii = _embedded_bc_enforce(K_bcoo, presc_idx)
+        r = _embedded_residual(R, K_bcoo, U, presc_idx, presc_vals, K_ii)
+        return r, K_data, xi
+
+    r0, K0, xi0 = assemble_enforced(U_prev)
+    R0 = jnp.maximum(jnp.linalg.norm(r0), abs_tol)
+
+    def print_line(k, r):
+        if nls["print convergence"]:
+            norm = jnp.linalg.norm(r)
+            jax.debug.print(" > ({k}) Newton: abs ||R|| = {a:.6e} "
+                            "rel ||R|| = {rel:.6e}",
+                            k=k, a=norm, rel=norm / R0)
+
+    print_line(1, r0)
+
+    def cond(state):
+        i, r, _K, _U, _xi = state
+        norm = jnp.linalg.norm(r)
+        return (i < max_iters) & (norm >= abs_tol) & (norm >= rel_tol * R0)
+
+    def body(state):
+        i, r, K_data, U, xi = state
+        dU = solve_linear(K_data, fe_problem, fe_arrays, -r, lss)
+        if ls_max_evals > 0:
+            r_sq = r @ r
+
+            def probe(alpha):
+                r_t, K_t, xi_t = assemble_enforced(U + alpha * dU)
+                _, matvec = _bcsr_operator(K_t, sparsity)
+                return (0.5 * (r_t @ r_t), r_t @ matvec(dU),
+                        (r_t, K_t, xi_t))
+
+            alpha, (r_new, K_new, xi_new) = line_search(
+                probe, 0.5 * r_sq, -r_sq, ls, (r, K_data, xi))
+            U_new = U + alpha * dU
+        else:
+            U_new = U + dU
+            r_new, K_new, xi_new = assemble_enforced(U_new)
+        print_line(i + 2, r_new)
+        return (i + 1, r_new, K_new, U_new, xi_new)
+
+    _, _, _, U_star, xi_star = lax.while_loop(
+        cond, body, (0, r0, K0, U_prev, xi0))
+    return U_star, xi_star
+
+
+def fe_newton_solve(fe_problem: FEProblem,
+                    params_by_block: Mapping[str, Params],
+                    U_prev, xi_prev_by_block=None, t: float = 0.0,
+                    nonlinear_solver_settings: dict | None = None,
+                    linear_solver_settings: dict | None = None):
+    """Public quasi-static Newton driver; see module docstring.
+
+    Initial iterate is U_prev (warm start); the current-step boundary
+    targets enter through the embedded residual's coupling term.
+    Returns (U_star, xi_star_by_block).
+    """
+    nls = {**default_nonlinear_settings(),
+           **(nonlinear_solver_settings or {})}
+    lss = {**DEFAULT_LINEAR_SOLVER_SETTINGS,
+           **(linear_solver_settings or {})}
+    dtype = config.real_dtype()
+    U_prev = jnp.asarray(U_prev, dtype=dtype)
+    xi_prev = ({k: jnp.asarray(v) for k, v in xi_prev_by_block.items()}
+               if xi_prev_by_block else {})
+    return _fe_newton_solve_ad(
+        fe_problem, fe_problem.kernel_arrays, params_by_block, U_prev,
+        xi_prev, t, freeze_settings(nls), freeze_settings(lss))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 6, 7))
+def _fe_newton_solve_ad(fe_problem, fe_arrays, params_by_block, U_prev,
+                        xi_prev_by_block, t, nls_frozen, lss_frozen):
+    return _fe_newton_primal(
+        fe_problem, fe_arrays, params_by_block, U_prev, xi_prev_by_block,
+        t, thaw_settings(nls_frozen), thaw_settings(lss_frozen))
+
+
+@_fe_newton_solve_ad.defjvp
+def _fe_newton_solve_ad_jvp(fe_problem, nls_frozen, lss_frozen, primals,
+                            tangents):
+    fe_arrays, params_by_block, U_prev, xi_prev_by_block, t = primals
+    p_dot = tangents[1:]
+    lss = thaw_settings(lss_frozen)
+
+    U_star, xi_star = _fe_newton_solve_ad(
+        fe_problem, fe_arrays, params_by_block, U_prev, xi_prev_by_block,
+        t, nls_frozen, lss_frozen)
+    presc_idx = fe_arrays.prescribed_indices
+
+    def r_of_p(params_, Up_, xp_, t_):
+        pv = jnp.asarray(fe_problem.dof_map.evaluate_prescribed_values(
+            fe_arrays.dbc_arrays, t_))
+        K_bcoo, R, _ = assemble_global(
+            fe_problem, fe_arrays, params_, U_star, Up_, t_,
+            xi_prev_by_block=xp_)
+        _, K_ii = _embedded_bc_enforce(K_bcoo, presc_idx)
+        return _embedded_residual(R, K_bcoo, U_star, presc_idx, pv, K_ii)
+
+    _, Rp_dot = jax.jvp(r_of_p,
+                        (params_by_block, U_prev, xi_prev_by_block, t),
+                        p_dot)
+
+    K_bcoo, _, _ = assemble_global(
+        fe_problem, fe_arrays, params_by_block, U_star, U_prev, t,
+        xi_prev_by_block=xi_prev_by_block)
+    K_data, _ = _embedded_bc_enforce(K_bcoo, presc_idx)
+    U_star_dot = solve_linear(K_data, fe_problem, fe_arrays, -Rp_dot, lss)
+
+    def xi_of(U_, params_, Up_, xp_, t_):
+        _, _, xi = assemble_global(
+            fe_problem, fe_arrays, params_, U_, Up_, t_,
+            xi_prev_by_block=xp_)
+        return xi
+
+    _, xi_star_dot = jax.jvp(
+        xi_of, (U_star, params_by_block, U_prev, xi_prev_by_block, t),
+        (U_star_dot, *p_dot))
+
+    return (U_star, xi_star), (U_star_dot, xi_star_dot)

@@ -1,0 +1,561 @@
+"""Sparse linear solvers + embedded-BC enforcement.
+
+Parity: reference ``cmad/fem/sparse_solve.py`` (1481 LoC) with the pyamg
+arms replaced by device-native preconditioning: this image has no pyamg,
+and on TPU an on-device Chebyshev/block sweep beats a host AMG callback.
+The solver menu:
+
+- ``scipy_lu``: host SuperLU via ``jax.pure_callback`` wrapped in
+  ``lax.custom_linear_solve`` (full JVP/VJP; batched RHS amortize one
+  factorization).
+- ``jax_cg`` / ``jax_gmres``: device-native Jacobi-preconditioned Krylov,
+  fully traceable and vmappable.
+- ``jax_block_gmres``: field-partitioned block preconditioner (Jacobi /
+  Chebyshev inner with Lanczos spectral brackets; block diagonal /
+  lower / upper coupling; assembled or approximate-Schur diagonal
+  blocks) — the mixed u-p workhorse.
+
+Embedded-BC form: prescribed rows AND columns zeroed with the assembled
+diagonal kept at prescribed rows (block-diagonal ``K_ff | diag(K_ii)``);
+the matching residual puts the dropped (free, prescribed) coupling back
+on the RHS. Static structure lives in :class:`EmbeddedSparsity` /
+:class:`BlockSparsity` caches built once per problem.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+import scipy.sparse.linalg
+from jax import lax
+from jax.experimental.sparse import BCOO, BCSR
+from jax.tree_util import register_pytree_node_class
+
+from cmad_tpu.typing import JaxArray
+
+if TYPE_CHECKING:
+    from cmad_tpu.fem.fe_problem import FEProblem
+
+
+# ----------------------------------------------------------------------
+# sparsity caches
+# ----------------------------------------------------------------------
+@register_pytree_node_class
+@dataclass(frozen=True)
+class EmbeddedSparsity:
+    """Static CSR structure of the BC-enforced tangent.
+
+    ``perm`` selects the kept positions of the runtime embedded-BC data
+    buffer (assembled free-free entries + appended prescribed-diagonal
+    entries) in lex (row, col) order; ``segment_ids`` dedups them;
+    ``(indptr, col_indices)`` is the unique CSR pattern; ``diag_idx``
+    maps each row to its diagonal slot in the unique data.
+    """
+
+    perm: JaxArray
+    segment_ids: JaxArray
+    indptr: JaxArray
+    col_indices: JaxArray
+    diag_idx: JaxArray
+
+    @property
+    def num_unique(self) -> int:
+        return self.col_indices.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    def tree_flatten(self):
+        return ((self.perm, self.segment_ids, self.indptr,
+                 self.col_indices, self.diag_idx), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def build_embedded_sparsity(fe_problem: "FEProblem") -> EmbeddedSparsity:
+    from cmad_tpu.fem.assembly import assembled_coo_pattern
+
+    rows, cols, _ = assembled_coo_pattern(fe_problem)
+    presc = np.asarray(fe_problem.dof_map.prescribed_indices,
+                       dtype=np.intp)
+    n = fe_problem.dof_map.num_total_dofs
+    n_assembled, n_presc = rows.shape[0], presc.shape[0]
+
+    is_presc = np.zeros(n, dtype=bool)
+    is_presc[presc] = True
+    ff = np.flatnonzero(~is_presc[rows] & ~is_presc[cols]).astype(np.intp)
+    appended = np.arange(n_assembled, n_assembled + n_presc, dtype=np.intp)
+    kept = np.concatenate([ff, appended])
+
+    full_rows = np.concatenate([rows, presc])
+    full_cols = np.concatenate([cols, presc])
+    kr, kc = full_rows[kept], full_cols[kept]
+    order = np.lexsort((kc, kr))
+    perm = kept[order]
+    sr, sc = kr[order], kc[order]
+
+    new = np.empty(sr.shape[0], dtype=bool)
+    new[0] = True
+    new[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
+    segment_ids = (np.cumsum(new) - 1).astype(np.intp)
+    urows = sr[new]
+    ucols = sc[new].astype(np.intp)
+    indptr = np.searchsorted(urows, np.arange(n + 1),
+                             side="left").astype(np.intp)
+
+    diag_idx = np.full(n, -1, dtype=np.intp)
+    dpos = np.flatnonzero(urows == ucols)
+    diag_idx[urows[dpos]] = dpos
+    if (diag_idx < 0).any():
+        raise ValueError(
+            f"row {int(np.flatnonzero(diag_idx < 0)[0])} lacks a diagonal "
+            "entry in the BC-enforced sparsity; assembly must emit a "
+            "(row, row) entry per dof")
+
+    return EmbeddedSparsity(
+        perm=jnp.asarray(perm), segment_ids=jnp.asarray(segment_ids),
+        indptr=jnp.asarray(indptr), col_indices=jnp.asarray(ucols),
+        diag_idx=jnp.asarray(diag_idx))
+
+
+@register_pytree_node_class
+@dataclass(frozen=True)
+class BlockSparsity:
+    """Field partition of the deduped global sparsity for the block
+    preconditioner: per field-pair, the unique-data positions and the
+    in-block (row, col) coordinates."""
+
+    field_offsets: tuple[int, ...]
+    pairs: tuple[tuple[int, int], ...]
+    global_data_indices: tuple[JaxArray, ...]
+    local_rows: tuple[JaxArray, ...]
+    local_cols: tuple[JaxArray, ...]
+
+    @property
+    def num_fields(self) -> int:
+        return len(self.field_offsets) - 1
+
+    def tree_flatten(self):
+        return ((self.global_data_indices, self.local_rows,
+                 self.local_cols),
+                (self.field_offsets, self.pairs))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(field_offsets=aux[0], pairs=aux[1],
+                   global_data_indices=children[0],
+                   local_rows=children[1], local_cols=children[2])
+
+
+def build_block_sparsity(embedded: EmbeddedSparsity,
+                         block_offsets) -> BlockSparsity:
+    offsets = np.asarray(block_offsets, dtype=np.intp)
+    num_fields = offsets.shape[0] - 1
+    n = int(offsets[-1])
+    indptr = np.asarray(embedded.indptr)
+    cols = np.asarray(embedded.col_indices)
+    rows = np.repeat(np.arange(n, dtype=np.intp), np.diff(indptr))
+    frow = np.searchsorted(offsets, rows, side="right") - 1
+    fcol = np.searchsorted(offsets, cols, side="right") - 1
+
+    pairs, gidx, lrows, lcols = [], [], [], []
+    for i in range(num_fields):
+        for j in range(num_fields):
+            sel = np.flatnonzero((frow == i) & (fcol == j))
+            if sel.size == 0:
+                continue
+            pairs.append((i, j))
+            gidx.append(jnp.asarray(sel.astype(np.intp)))
+            lrows.append(jnp.asarray(rows[sel] - offsets[i]))
+            lcols.append(jnp.asarray(cols[sel] - offsets[j]))
+    return BlockSparsity(
+        field_offsets=tuple(int(x) for x in offsets), pairs=tuple(pairs),
+        global_data_indices=tuple(gidx), local_rows=tuple(lrows),
+        local_cols=tuple(lcols))
+
+
+# ----------------------------------------------------------------------
+# operator construction + embedded BC
+# ----------------------------------------------------------------------
+def _bcsr_operator(K_data: JaxArray, sparsity: EmbeddedSparsity):
+    """(unique_data, matvec): dedup the embedded-BC data buffer into the
+    cached CSR and wrap the BCSR matmul."""
+    unique = jnp.zeros(sparsity.num_unique, dtype=K_data.dtype
+                       ).at[sparsity.segment_ids].add(K_data[sparsity.perm])
+    K = BCSR((unique, sparsity.col_indices, sparsity.indptr),
+             shape=(sparsity.n, sparsity.n))
+    return unique, lambda x: K @ x
+
+
+def _embedded_bc_enforce(K_bcoo: BCOO, presc_idx: JaxArray):
+    """(K_data, K_ii_presc): zero prescribed rows+cols, append the
+    assembled diagonal at prescribed positions (implicit indices are
+    concatenate([assembled, (presc, presc)]))."""
+    rows, cols = K_bcoo.indices[:, 0], K_bcoo.indices[:, 1]
+    n = K_bcoo.shape[0]
+    p = jnp.zeros(n, dtype=bool).at[presc_idx].set(True)
+    keep = ~(p[rows] | p[cols])
+    K_ii = jnp.zeros(n, dtype=K_bcoo.data.dtype).at[rows].add(
+        K_bcoo.data * (rows == cols))
+    K_ii_presc = K_ii[presc_idx]
+    return jnp.concatenate([K_bcoo.data * keep, K_ii_presc]), K_ii_presc
+
+
+def _embedded_residual(R_assembled: JaxArray, K_bcoo: BCOO, U: JaxArray,
+                       presc_idx: JaxArray, presc_vals: JaxArray,
+                       K_ii_presc: JaxArray) -> JaxArray:
+    """Residual paired with the symmetric embedded form: free rows carry
+    R + K[:, presc] (presc_vals - U[presc]); prescribed rows carry
+    K_ii (U[presc] - presc_vals)."""
+    bc_inc = jnp.zeros_like(U).at[presc_idx].set(
+        presc_vals - U[presc_idx])
+    r = R_assembled + K_bcoo @ bc_inc
+    return r.at[presc_idx].set(K_ii_presc * (U[presc_idx] - presc_vals))
+
+
+# ----------------------------------------------------------------------
+# direct solve (host callback)
+# ----------------------------------------------------------------------
+def _csr_from_operands(unique_np, col_np, indptr_np, n):
+    return scipy.sparse.csr_matrix(
+        (np.reshape(unique_np, -1), np.reshape(col_np, -1),
+         np.reshape(indptr_np, -1)), shape=(n, n))
+
+
+def _splu_multi(K_csc, b_np):
+    b = np.asarray(b_np)
+    batch = b.shape[:-1]
+    bT = np.ascontiguousarray(b.reshape(-1, b.shape[-1]).T)
+    lu = scipy.sparse.linalg.splu(K_csc)
+    return lu.solve(bT).T.reshape(*batch, b.shape[-1])
+
+
+def scipy_lu(K_data: JaxArray, sparsity: EmbeddedSparsity,
+             b: JaxArray) -> JaxArray:
+    """Host sparse-direct solve with full AD via custom_linear_solve:
+    matvec = BCSR matmul, solve/transpose_solve = SuperLU callbacks
+    (batched RHS share one factorization under vmap)."""
+    unique, matvec = _bcsr_operator(K_data, sparsity)
+    n = sparsity.n
+
+    def _solve_cb(unique_np, col_np, indptr_np, b_np, *, transpose):
+        K = _csr_from_operands(unique_np, col_np, indptr_np, n)
+        if transpose:
+            K = K.T
+        if np.asarray(b_np).ndim == 1:
+            return np.asarray(scipy.sparse.linalg.spsolve(K, b_np))
+        return _splu_multi(K.tocsc(), b_np)
+
+    def _callback(rhs, transpose):
+        return jax.pure_callback(
+            lambda u, c, i, bb: _solve_cb(u, c, i, bb,
+                                          transpose=transpose),
+            jax.ShapeDtypeStruct(rhs.shape, rhs.dtype),
+            unique, sparsity.col_indices, sparsity.indptr, rhs,
+            vmap_method="expand_dims")
+
+    return lax.custom_linear_solve(
+        matvec, b,
+        lambda _mv, rhs: _callback(rhs, False),
+        transpose_solve=lambda _vm, rhs: _callback(rhs, True),
+        symmetric=False)
+
+
+# ----------------------------------------------------------------------
+# device-native Krylov
+# ----------------------------------------------------------------------
+def _jacobi_setup(K_data, sparsity):
+    unique, matvec = _bcsr_operator(K_data, sparsity)
+    diag = unique[sparsity.diag_idx]
+    return unique, matvec, lambda x: x / diag
+
+
+def jax_cg(K_data: JaxArray, sparsity: EmbeddedSparsity, b: JaxArray,
+           rtol: float = 1e-10, max_iters: int | None = None) -> JaxArray:
+    """Jacobi-preconditioned CG (SPD K), fully traceable/vmappable; AD
+    via symmetric custom_linear_solve."""
+    _, matvec, precon = _jacobi_setup(K_data, sparsity)
+
+    def solve(_mv, rhs):
+        x, _ = jax.scipy.sparse.linalg.cg(
+            matvec, rhs, M=precon, tol=rtol, maxiter=max_iters)
+        return x
+
+    return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
+def jax_cg_with_iters(K_data, sparsity, b, rtol=1e-10, max_iters=None):
+    """CG exposing the iteration count (diagnostics; no AD wrapper)."""
+    _, matvec, precon = _jacobi_setup(K_data, sparsity)
+    if max_iters is None:
+        max_iters = 10 * b.shape[0]
+
+    x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    z0 = precon(r0)
+    tol_sq = rtol**2 * (b @ b)
+
+    def cond(s):
+        i, _x, r, _z, _p, _rz = s
+        return (i < max_iters) & ((r @ r) > tol_sq)
+
+    def body(s):
+        i, x, r, _z, p, rz = s
+        Ap = matvec(p)
+        alpha = rz / (p @ Ap)
+        x, r = x + alpha * p, r - alpha * Ap
+        z = precon(r)
+        rz_new = r @ z
+        return (i + 1, x, r, z, z + (rz_new / rz) * p, rz_new)
+
+    out = lax.while_loop(cond, body,
+                         (jnp.int32(0), x0, r0, z0, z0, r0 @ z0))
+    return out[1], out[0]
+
+
+def jax_gmres(K_data: JaxArray, sparsity: EmbeddedSparsity, b: JaxArray,
+              rtol: float = 1e-10, max_iters: int | None = None,
+              restart: int = 20) -> JaxArray:
+    """Jacobi-preconditioned restarted GMRES (general K); AD via
+    custom_linear_solve with the auto-transposed vecmat."""
+    _, matvec, precon = _jacobi_setup(K_data, sparsity)
+
+    def run(op, rhs):
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            op, rhs, M=precon, tol=rtol, maxiter=max_iters,
+            restart=restart)
+        return x
+
+    return lax.custom_linear_solve(
+        matvec, b, lambda _mv, rhs: run(matvec, rhs),
+        transpose_solve=lambda vecmat, rhs: run(vecmat, rhs),
+        symmetric=False)
+
+
+# ----------------------------------------------------------------------
+# block preconditioner (device-native)
+# ----------------------------------------------------------------------
+_LANCZOS_STEPS = 15
+_CHEB_DEFAULT_DEGREE = 3
+_CHEB_LMIN_FRAC = 1.0 / 30.0
+_CHEB_LMAX_SAFETY = 1.1
+
+
+def _block_apply(bs: BlockSparsity, unique, pair_index, i, j, x, *,
+                 transpose):
+    """Apply block (i, j) (or its transpose-operator counterpart) to a
+    field-j vector."""
+    n_i = bs.field_offsets[i + 1] - bs.field_offsets[i]
+    key = (j, i) if transpose else (i, j)
+    if key not in pair_index:
+        return jnp.zeros(n_i, dtype=unique.dtype)
+    k = pair_index[key]
+    data = unique[bs.global_data_indices[k]]
+    if transpose:
+        gather, scatter = bs.local_rows[k], bs.local_cols[k]
+    else:
+        gather, scatter = bs.local_cols[k], bs.local_rows[k]
+    return jnp.zeros(n_i, dtype=unique.dtype).at[scatter].add(
+        data * x[gather])
+
+
+def _block_diag(bs, unique, pair_index, i):
+    n_i = bs.field_offsets[i + 1] - bs.field_offsets[i]
+    k = pair_index[(i, i)]
+    rows, cols = bs.local_rows[k], bs.local_cols[k]
+    data = unique[bs.global_data_indices[k]]
+    return jnp.zeros(n_i, dtype=unique.dtype).at[rows].add(
+        jnp.where(rows == cols, data, 0.0))
+
+
+def _diag_block_matvec(bs, unique, pair_index, i, x, *, diagonal_block,
+                       transpose):
+    """Field i's diagonal-block operator: assembled (i, i), or its
+    approximate Schur complement (i,i) - sum_j (i,j) diag(j,j)^-1 (j,i)."""
+    out = _block_apply(bs, unique, pair_index, i, i, x,
+                       transpose=transpose)
+    if diagonal_block != "schur":
+        return out
+    for j in range(bs.num_fields):
+        if j == i:
+            continue
+        proj = _block_apply(bs, unique, pair_index, j, i, x,
+                            transpose=transpose)
+        proj = proj / _block_diag(bs, unique, pair_index, j)
+        out = out - _block_apply(bs, unique, pair_index, i, j, proj,
+                                 transpose=transpose)
+    return out
+
+
+def _lanczos_dominant_eig(matvec, n, dtype):
+    """Largest-magnitude eigenvalue (sign kept) via a short symmetric
+    Lanczos run from a deterministic start."""
+    steps = min(_LANCZOS_STEPS, n)
+    q0 = jnp.arange(1, n + 1, dtype=dtype)
+    q0 = q0 / jnp.linalg.norm(q0)
+
+    def step(j, carry):
+        q, q_prev, beta_prev, alphas, betas = carry
+        w = matvec(q) - beta_prev * q_prev
+        alpha = q @ w
+        w = w - alpha * q
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.where(beta > 0.0, beta, 1.0)
+        return (q_next, q, beta, alphas.at[j].set(alpha),
+                betas.at[j].set(beta))
+
+    zeros = jnp.zeros(steps, dtype=dtype)
+    _, _, _, alphas, betas = lax.fori_loop(
+        0, steps, step,
+        (q0, jnp.zeros_like(q0), jnp.asarray(0.0, dtype), zeros, zeros))
+    T = (jnp.diag(alphas) + jnp.diag(betas[:steps - 1], 1)
+         + jnp.diag(betas[:steps - 1], -1))
+    ritz = jnp.linalg.eigvalsh(T)
+    return ritz[jnp.argmax(jnp.abs(ritz))]
+
+
+def _chebyshev_apply(matvec, r, lmin, lmax, degree):
+    """Fixed-degree Chebyshev smoother for A z = r on spectrum
+    [lmin, lmax] (same-signed bounds handle negative-definite blocks)."""
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    z = jnp.zeros_like(r)
+    d = r / theta
+
+    def step(_, carry):
+        z, res, d, rho = carry
+        z = z + d
+        res = res - matvec(d)
+        rho_next = 1.0 / (2.0 * sigma - rho)
+        d = rho * rho_next * d + (2.0 * rho_next / delta) * res
+        return z, res, d, rho_next
+
+    z, *_ = lax.fori_loop(0, degree, step, (z, r, d, rho))
+    return z
+
+
+def _chebyshev_bounds(bs, unique, pair_index, diagonal_block):
+    bounds = []
+    for i in range(bs.num_fields):
+        n_i = bs.field_offsets[i + 1] - bs.field_offsets[i]
+        lam = _lanczos_dominant_eig(
+            lambda x, i=i: _diag_block_matvec(
+                bs, unique, pair_index, i, x,
+                diagonal_block=diagonal_block, transpose=False),
+            n_i, unique.dtype)
+        lo, hi = lam * _CHEB_LMIN_FRAC, lam * _CHEB_LMAX_SAFETY
+        bounds.append((jnp.minimum(lo, hi), jnp.maximum(lo, hi)))
+    return tuple(bounds)
+
+
+def _block_precon_apply(bs, unique, pair_index, r, *, coupling,
+                        diagonal_block, inner, transpose,
+                        chebyshev_degree=0, chebyshev_bounds=None):
+    """One block Jacobi / Gauss-Seidel sweep approximating M z = r."""
+    if inner not in ("jacobi", "chebyshev"):
+        raise NotImplementedError(
+            f"inner={inner!r}: available inners are 'jacobi' and "
+            "'chebyshev' (this build has no pyamg; 'amg' is unsupported)")
+    if diagonal_block not in ("assembled", "schur"):
+        raise NotImplementedError(
+            f"diagonal_block={diagonal_block!r}: expected 'assembled' or "
+            "'schur'")
+    if inner == "jacobi" and diagonal_block != "assembled":
+        raise NotImplementedError(
+            "inner='jacobi' pairs only with diagonal_block='assembled'")
+
+    offs = bs.field_offsets
+    nf = bs.num_fields
+    r_f = [r[offs[i]:offs[i + 1]] for i in range(nf)]
+    z_f = [jnp.zeros_like(x) for x in r_f]
+
+    def inv(i, rhs):
+        if inner == "jacobi":
+            return rhs / _block_diag(bs, unique, pair_index, i)
+        lmin, lmax = chebyshev_bounds[i]
+        return _chebyshev_apply(
+            lambda x: _diag_block_matvec(
+                bs, unique, pair_index, i, x,
+                diagonal_block=diagonal_block, transpose=transpose),
+            rhs, lmin, lmax, chebyshev_degree)
+
+    order = range(nf) if coupling != "upper" else range(nf - 1, -1, -1)
+    for i in order:
+        rhs = r_f[i]
+        neighbors = (range(i) if coupling == "lower"
+                     else range(i + 1, nf) if coupling == "upper"
+                     else range(0))
+        for j in neighbors:
+            rhs = rhs - _block_apply(bs, unique, pair_index, i, j,
+                                     z_f[j], transpose=transpose)
+        z_f[i] = inv(i, rhs)
+    return jnp.concatenate(z_f)
+
+
+def jax_block_gmres(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                    b: JaxArray, block_sparsity: BlockSparsity, *,
+                    coupling: str = "lower",
+                    diagonal_block: str = "assembled",
+                    inner: str = "jacobi", degree: int | None = None,
+                    rtol: float = 1e-10, max_iters: int | None = None,
+                    restart: int = 20) -> JaxArray:
+    """GMRES with a field-block preconditioner — fully device-native.
+
+    ``coupling`` in {diagonal, lower, upper}; ``diagonal_block`` in
+    {assembled, schur}; ``inner`` in {jacobi, chebyshev}; ``degree`` sets
+    the Chebyshev step count. AD via custom_linear_solve: the
+    preconditioner stays inside the solve closures.
+    """
+    unique, matvec = _bcsr_operator(K_data, sparsity)
+    pair_index = {p: k for k, p in enumerate(block_sparsity.pairs)}
+    if inner == "chebyshev":
+        cheb_degree = _CHEB_DEFAULT_DEGREE if degree is None else degree
+        cheb_bounds = _chebyshev_bounds(block_sparsity, unique, pair_index,
+                                        diagonal_block)
+    else:
+        cheb_degree, cheb_bounds = 0, None
+
+    def precon(transpose):
+        def apply(x):
+            return _block_precon_apply(
+                block_sparsity, unique, pair_index, x, coupling=coupling,
+                diagonal_block=diagonal_block, inner=inner,
+                transpose=transpose, chebyshev_degree=cheb_degree,
+                chebyshev_bounds=cheb_bounds)
+        return apply
+
+    def run(op, rhs, transpose):
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            op, rhs, M=precon(transpose), tol=rtol, maxiter=max_iters,
+            restart=restart)
+        return x
+
+    return lax.custom_linear_solve(
+        matvec, b, lambda _mv, rhs: run(matvec, rhs, False),
+        transpose_solve=lambda vecmat, rhs: run(vecmat, rhs, True),
+        symmetric=False)
+
+
+def near_null_by_field(near_null_space, block_offsets):
+    """Split a global near-null basis by field, dropping all-zero
+    columns; None passes through."""
+    if near_null_space is None:
+        return None
+    modes = np.asarray(near_null_space)
+    offs = np.asarray(block_offsets, dtype=np.intp)
+    out = []
+    for i in range(offs.shape[0] - 1):
+        block = modes[offs[i]:offs[i + 1]]
+        keep = np.any(block != 0.0, axis=0)
+        out.append(block[:, keep] if keep.any() else None)
+    return out
