@@ -1,27 +1,184 @@
-"""FE subcommand stubs — replaced when the fem layer lands."""
+"""FE subcommand implementations.
+
+Parity: reference ``cmad/cli/{primal,objective,gradient,hessian,
+calibrate}.py`` FE branches. The FE sensitivities are plain
+``jax.grad`` / ``jax.hessian`` of the J(params_flat) closure — the FE
+Newton's custom_jvp supplies the implicit-step derivatives, so there is
+no separate sensitivity strategy section for FE decks.
+"""
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Any
 
-_MSG = ("FE problems are not yet wired into this build of cmad_tpu; "
-        "the fem layer is under construction")
+import jax
+import numpy as np
+from jax import jit, value_and_grad
+from jax.tree_util import tree_flatten_with_path
+from scipy.optimize import minimize
+
+from cmad_tpu.cli.calibrate import (
+    active_param_paths,
+    optimize_status,
+    resolve_initial_guess,
+)
+from cmad_tpu.cli.common import resolve_output
+from cmad_tpu.cli.fe_common import (
+    FEProblemBundle,
+    build_fe_J_of_params_flat,
+    build_fe_problem_from_deck,
+)
+from cmad_tpu.fem.driver import fe_quasistatic_drive
+from cmad_tpu.io.fe_writers import (
+    resolve_fe_output_plan,
+    write_fe_active_params,
+    write_fe_exodus,
+    write_fe_opt_params,
+)
+from cmad_tpu.io.writers import (
+    write_grad,
+    write_hessian,
+    write_J,
+    write_opt_history,
+    write_opt_status,
+    write_resolved_deck,
+)
+
+
+def _nls_settings(bundle: FEProblemBundle) -> dict[str, Any]:
+    gr = bundle.resolved["residuals"]["global residual"]
+    return {"max iters": int(gr["nonlinear max iters"]),
+            "abs tol": float(gr["nonlinear absolute tol"]),
+            "rel tol": float(gr["nonlinear relative tol"]),
+            "print convergence": bool(gr.get("print convergence", False)),
+            "line search": gr.get("line search", {})}
 
 
 def run_primal_fe(deck_path: Path) -> int:
-    raise NotImplementedError(_MSG)
+    bundle = build_fe_problem_from_deck(deck_path, "primal")
+    qoi = bundle.qoi
+    write_qoi = (qoi if qoi is not None and qoi.produces_primal_output()
+                 else None)
+    state, J = fe_quasistatic_drive(
+        bundle.fe_problem, bundle.t_schedule.tolist(),
+        nonlinear_solver_settings=_nls_settings(bundle),
+        linear_solver_settings=bundle.resolved["linear solver"],
+        qoi=None if write_qoi is not None else qoi)
+
+    if "output" not in bundle.resolved:
+        return 0
+    out_dir, prefix, _fmt = resolve_output(bundle.resolved)
+    output = bundle.resolved["output"]
+    if output.get("write exodus", True):
+        plan = resolve_fe_output_plan(output, bundle.fe_problem)
+        if "exodus filename" not in output:
+            name = bundle.resolved["problem"].get("name") or deck_path.stem
+            output["exodus filename"] = f"{name}.exo"
+        write_fe_exodus(out_dir, prefix, bundle.fe_problem, state, plan,
+                        output["exodus filename"])
+    write_resolved_deck(out_dir, prefix, bundle.resolved)
+    if write_qoi is not None:
+        write_qoi.write_primal_outputs(bundle.fe_problem, state)
+    elif qoi is not None:
+        write_J(out_dir, prefix, float(J))
+    return 0
 
 
 def run_objective_fe(deck_path: Path) -> int:
-    raise NotImplementedError(_MSG)
+    bundle = build_fe_problem_from_deck(deck_path, "objective")
+    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+    J = float(jit(J_of)(params_flat, state_init,
+                        bundle.fe_problem.kernel_arrays))
+    out_dir, prefix, _fmt = resolve_output(bundle.resolved)
+    write_resolved_deck(out_dir, prefix, bundle.resolved)
+    write_J(out_dir, prefix, J)
+    return 0
 
 
 def run_gradient_fe(deck_path: Path) -> int:
-    raise NotImplementedError(_MSG)
+    bundle = build_fe_problem_from_deck(deck_path, "gradient")
+    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+    grad = np.asarray(jit(jax.grad(J_of, argnums=0))(
+        params_flat, state_init, bundle.fe_problem.kernel_arrays))
+    out_dir, prefix, fmt = resolve_output(bundle.resolved)
+    write_resolved_deck(out_dir, prefix, bundle.resolved)
+    write_grad(out_dir, prefix, grad, fmt)
+    return 0
 
 
 def run_hessian_fe(deck_path: Path) -> int:
-    raise NotImplementedError(_MSG)
+    bundle = build_fe_problem_from_deck(deck_path, "hessian")
+    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+    hess = np.asarray(jit(jax.hessian(J_of, argnums=0))(
+        params_flat, state_init, bundle.fe_problem.kernel_arrays))
+    out_dir, prefix, fmt = resolve_output(bundle.resolved)
+    write_resolved_deck(out_dir, prefix, bundle.resolved)
+    write_hessian(out_dir, prefix, hess, fmt)
+    return 0
 
 
 def run_calibrate_fe(deck_path: Path) -> int:
-    raise NotImplementedError(_MSG)
+    bundle = build_fe_problem_from_deck(deck_path, "calibrate")
+    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+    fe_problem = bundle.fe_problem
+    models = fe_problem.models_by_block
+    fe_arrays = fe_problem.kernel_arrays
+    optimizer = bundle.resolved["optimizer"]
+    log_params = optimizer["log_params"]
+
+    def set_block_params(x):
+        offset = 0
+        for model in models.values():
+            n = model.parameters.num_active_params
+            model.parameters.set_active_values_from_flat(
+                x[offset:offset + n], are_canonical=True)
+            offset += n
+
+    vg = jit(value_and_grad(J_of, argnums=0))
+    history: list[dict[str, Any]] = []
+
+    def fun(x):
+        J, g = vg(x, state_init, fe_arrays)
+        g = np.asarray(g, dtype=np.float64)
+        entry: dict[str, Any] = {"J": float(J),
+                                 "grad_norm": float(np.linalg.norm(g))}
+        if log_params:
+            set_block_params(x)
+            entry["params"] = _active_values(models)
+        history.append(entry)
+        return float(J), g
+
+    bounds_list = [b for m in models.values()
+                   if m.parameters.num_active_params
+                   for b in m.parameters.opt_bounds]
+    result = minimize(
+        fun,
+        resolve_initial_guess(optimizer["initial_guess"],
+                              np.asarray(params_flat, dtype=np.float64)),
+        jac=True, method=optimizer["algorithm"],
+        bounds=[tuple(b) for b in bounds_list] if bounds_list else None,
+        options=optimizer["options"])
+    set_block_params(result.x)
+
+    out_dir, prefix, _fmt = resolve_output(bundle.resolved)
+    materials = bundle.resolved["residuals"]["local residual"]["materials"]
+    write_resolved_deck(out_dir, prefix, bundle.resolved)
+    write_opt_history(out_dir, prefix, history,
+                      _active_paths(models) if log_params else None)
+    write_fe_opt_params(out_dir, prefix, materials,
+                        {b: m.parameters.values
+                         for b, m in models.items()})
+    write_fe_active_params(out_dir, prefix, dict(zip(
+        _active_paths(models), _active_values(models), strict=True)))
+    write_opt_status(out_dir, prefix, optimize_status(result))
+    return 0
+
+
+def _active_values(models) -> list[float]:
+    return [float(v) for m in models.values()
+            for v in m.parameters.flat_active_values()]
+
+
+def _active_paths(models) -> list[str]:
+    return [f"{block}.{p}" for block, m in models.items()
+            for p in active_param_paths(m.parameters)]

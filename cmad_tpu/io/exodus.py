@@ -1,0 +1,363 @@
+"""Exodus II mesh + results I/O on NetCDF3 (pure Python).
+
+Parity: reference ``cmad/io/exodus.py:247,433,846``, reimplemented on
+``scipy.io.netcdf_file`` because this image has no netCDF4. Files are
+written in NetCDF3 64-bit-offset — readable by every Exodus consumer.
+Reading supports NetCDF3 classic/64-bit files; HDF5-backed Exodus files
+raise a clear error naming the limitation.
+
+Supported subset (everything the framework produces/consumes):
+- mesh: coordinates, element blocks (hex8 / tet4), node sets, side sets,
+  names + integer ids
+- results: time steps, nodal variables, per-block element variables
+
+Component order note: cmad's sym-tensor storage is
+[00, 01, 02, 11, 12, 22]; Exodus convention is XX YY ZZ XY YZ ZX. The
+writer/reader permute at the boundary (see results.py).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from scipy.io import netcdf_file
+
+from cmad_tpu.fem.mesh import Mesh
+from cmad_tpu.fem.topology import ElementFamily
+
+_LEN_STRING = 33
+_LEN_LINE = 81
+
+_ELEM_TYPE_BY_FAMILY = {ElementFamily.HEX_LINEAR: "HEX8",
+                        ElementFamily.TET_LINEAR: "TETRA4"}
+_FAMILY_BY_ELEM_TYPE = {
+    "HEX8": ElementFamily.HEX_LINEAR, "HEX": ElementFamily.HEX_LINEAR,
+    "TETRA4": ElementFamily.TET_LINEAR, "TETRA": ElementFamily.TET_LINEAR,
+    "TET4": ElementFamily.TET_LINEAR,
+}
+
+
+class ExodusFormatError(ValueError):
+    pass
+
+
+def _pad_name(name: str, length: int = _LEN_STRING) -> np.ndarray:
+    raw = name.encode()[: length - 1]
+    out = np.zeros(length, dtype="S1")
+    out[: len(raw)] = np.frombuffer(raw, dtype="S1")
+    return out
+
+
+def _decode_names(char_array) -> list[str]:
+    out = []
+    for row in np.asarray(char_array):
+        s = b"".join(x if isinstance(x, bytes) else bytes([x])
+                     for x in row.tolist())
+        out.append(s.split(b"\x00")[0].decode().strip())
+    return out
+
+
+def _open_read(path: Path) -> netcdf_file:
+    try:
+        return netcdf_file(str(path), "r", mmap=False)
+    except Exception as e:
+        raise ExodusFormatError(
+            f"cannot read {path} as NetCDF3; HDF5-backed Exodus files are "
+            f"not supported by this build (no netCDF4): {e}") from e
+
+
+def read_mesh(path: Path) -> Mesh:
+    """Read an Exodus II mesh (blocks, node sets, side sets, names/ids)."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"mesh file not found: {path}")
+    nc = _open_read(path)
+    try:
+        dims = nc.dimensions
+        n_nodes = int(dims["num_nodes"])
+        ndim = int(dims["num_dim"])
+        if ndim != 3:
+            raise ExodusFormatError(f"only 3D meshes supported; got {ndim}")
+
+        if "coord" in nc.variables:
+            nodes = np.asarray(nc.variables["coord"][:]).T.astype(float)
+        else:
+            nodes = np.stack(
+                [np.asarray(nc.variables[f"coord{ax}"][:])
+                 for ax in "xyz"], axis=1).astype(float)
+        assert nodes.shape == (n_nodes, 3)
+
+        n_blocks = int(dims.get("num_el_blk", 1))
+        block_ids = (np.asarray(nc.variables["eb_prop1"][:]).astype(int)
+                     if "eb_prop1" in nc.variables
+                     else np.arange(1, n_blocks + 1))
+        block_names = (_decode_names(nc.variables["eb_names"][:])
+                       if "eb_names" in nc.variables else [""] * n_blocks)
+
+        conns, families, block_slices = [], [], {}
+        offset = 0
+        for b in range(n_blocks):
+            conn = np.asarray(
+                nc.variables[f"connect{b + 1}"][:]).astype(np.intp) - 1
+            etype = getattr(nc.variables[f"connect{b + 1}"], "elem_type",
+                            b"").decode().upper().rstrip("\x00")
+            fam = _FAMILY_BY_ELEM_TYPE.get(etype)
+            if fam is None:
+                raise ExodusFormatError(
+                    f"unsupported element type {etype!r} in block "
+                    f"{b + 1}; supported: {sorted(_FAMILY_BY_ELEM_TYPE)}")
+            families.append(fam)
+            conns.append(conn)
+            name = block_names[b] or f"block_{block_ids[b]}"
+            block_slices[name] = (offset, offset + conn.shape[0],
+                                  int(block_ids[b]))
+            offset += conn.shape[0]
+        if len(set(families)) != 1:
+            raise ExodusFormatError(
+                "mixed element families are not supported")
+        connectivity = np.vstack(conns)
+
+        element_blocks = {n: np.arange(lo, hi, dtype=np.intp)
+                          for n, (lo, hi, _id) in block_slices.items()}
+        element_block_ids = {n: bid
+                             for n, (_lo, _hi, bid) in block_slices.items()}
+
+        node_sets, node_set_ids = {}, {}
+        n_ns = int(dims.get("num_node_sets", 0))
+        if n_ns:
+            ns_ids = np.asarray(nc.variables["ns_prop1"][:]).astype(int)
+            ns_names = (_decode_names(nc.variables["ns_names"][:])
+                        if "ns_names" in nc.variables else [""] * n_ns)
+            for k in range(n_ns):
+                name = ns_names[k] or f"nodeset_{ns_ids[k]}"
+                node_sets[name] = np.asarray(
+                    nc.variables[f"node_ns{k + 1}"][:]
+                ).astype(np.intp) - 1
+                node_set_ids[name] = int(ns_ids[k])
+
+        side_sets, side_set_ids = {}, {}
+        n_ss = int(dims.get("num_side_sets", 0))
+        if n_ss:
+            ss_ids = np.asarray(nc.variables["ss_prop1"][:]).astype(int)
+            ss_names = (_decode_names(nc.variables["ss_names"][:])
+                        if "ss_names" in nc.variables else [""] * n_ss)
+            for k in range(n_ss):
+                name = ss_names[k] or f"sideset_{ss_ids[k]}"
+                elems = np.asarray(
+                    nc.variables[f"elem_ss{k + 1}"][:]).astype(np.intp) - 1
+                sides = np.asarray(
+                    nc.variables[f"side_ss{k + 1}"][:]).astype(np.intp) - 1
+                side_sets[name] = np.column_stack([elems, sides])
+                side_set_ids[name] = int(ss_ids[k])
+
+        return Mesh(nodes=nodes, connectivity=connectivity,
+                    element_family=families[0],
+                    element_blocks=element_blocks, node_sets=node_sets,
+                    side_sets=side_sets,
+                    element_block_ids=element_block_ids,
+                    node_set_ids=node_set_ids, side_set_ids=side_set_ids)
+    finally:
+        nc.close()
+
+
+class ExodusWriter:
+    """Write a mesh skeleton + time-stepped nodal / element variables.
+
+    Variable schemas are fixed at open; steps append via
+    :meth:`write_step`. Sym-tensor permutation to Exodus order is the
+    caller's job (io/results.py helpers).
+    """
+
+    def __init__(self, path: Path, mesh: Mesh,
+                 nodal_var_names: list[str] | None = None,
+                 element_var_names: list[str] | None = None,
+                 title: str = "cmad_tpu output") -> None:
+        self._mesh = mesh
+        self._nodal = list(nodal_var_names or [])
+        self._elem = list(element_var_names or [])
+        self._num_steps = 0
+
+        nc = netcdf_file(str(path), "w", version=2, mmap=False)
+        self._nc = nc
+        nc.title = title.encode()
+        nc.api_version = np.float32(8.03)
+        nc.version = np.float32(8.03)
+        nc.floating_point_word_size = np.int32(8)
+        nc.file_size = np.int32(1)
+
+        n_nodes, n_elems = mesh.nodes.shape[0], mesh.connectivity.shape[0]
+        blocks = list(mesh.element_blocks.items())
+
+        # scipy's NetCDF3 writer requires the unlimited dimension first
+        nc.createDimension("time_step", None)
+        nc.createDimension("len_string", _LEN_STRING)
+        nc.createDimension("len_line", _LEN_LINE)
+        nc.createDimension("four", 4)
+        nc.createDimension("num_dim", 3)
+        nc.createDimension("num_nodes", n_nodes)
+        nc.createDimension("num_elem", n_elems)
+        nc.createDimension("num_el_blk", len(blocks))
+
+        v = nc.createVariable("time_whole", "d", ("time_step",))
+        del v
+
+        for ax_i, ax in enumerate("xyz"):
+            var = nc.createVariable(f"coord{ax}", "d", ("num_nodes",))
+            var[:] = np.asarray(mesh.nodes[:, ax_i], dtype=float)
+        names = nc.createVariable("coor_names", "c",
+                                  ("num_dim", "len_string"))
+        for i, ax in enumerate("xyz"):
+            names[i] = _pad_name(ax)
+
+        eb_prop = nc.createVariable("eb_prop1", "i", ("num_el_blk",))
+        eb_prop.name = b"ID"
+        eb_names = nc.createVariable("eb_names", "c",
+                                     ("num_el_blk", "len_string"))
+        etype = _ELEM_TYPE_BY_FAMILY[mesh.element_family]
+        npe = mesh.connectivity.shape[1]
+        for b, (name, idx) in enumerate(blocks):
+            bid = mesh.element_block_ids.get(name, b + 1)
+            eb_prop[b] = bid
+            eb_names[b] = _pad_name(name)
+            nc.createDimension(f"num_el_in_blk{b + 1}", len(idx))
+            nc.createDimension(f"num_nod_per_el{b + 1}", npe)
+            conn = nc.createVariable(
+                f"connect{b + 1}", "i",
+                (f"num_el_in_blk{b + 1}", f"num_nod_per_el{b + 1}"))
+            conn.elem_type = etype.encode()
+            conn[:] = np.asarray(mesh.connectivity[idx] + 1,
+                                 dtype=np.int32)
+
+        if mesh.node_sets:
+            ns = list(mesh.node_sets.items())
+            nc.createDimension("num_node_sets", len(ns))
+            prop = nc.createVariable("ns_prop1", "i", ("num_node_sets",))
+            prop.name = b"ID"
+            ns_names = nc.createVariable("ns_names", "c",
+                                         ("num_node_sets", "len_string"))
+            for k, (name, idx) in enumerate(ns):
+                prop[k] = mesh.node_set_ids.get(name, k + 1)
+                ns_names[k] = _pad_name(name)
+                nc.createDimension(f"num_nod_ns{k + 1}", len(idx))
+                var = nc.createVariable(f"node_ns{k + 1}", "i",
+                                        (f"num_nod_ns{k + 1}",))
+                var[:] = np.asarray(idx + 1, dtype=np.int32)
+
+        if mesh.side_sets:
+            ss = list(mesh.side_sets.items())
+            nc.createDimension("num_side_sets", len(ss))
+            prop = nc.createVariable("ss_prop1", "i", ("num_side_sets",))
+            prop.name = b"ID"
+            ss_names = nc.createVariable("ss_names", "c",
+                                         ("num_side_sets", "len_string"))
+            for k, (name, pairs) in enumerate(ss):
+                prop[k] = mesh.side_set_ids.get(name, k + 1)
+                ss_names[k] = _pad_name(name)
+                nc.createDimension(f"num_side_ss{k + 1}", pairs.shape[0])
+                ev = nc.createVariable(f"elem_ss{k + 1}", "i",
+                                       (f"num_side_ss{k + 1}",))
+                sv = nc.createVariable(f"side_ss{k + 1}", "i",
+                                       (f"num_side_ss{k + 1}",))
+                ev[:] = np.asarray(pairs[:, 0] + 1, dtype=np.int32)
+                sv[:] = np.asarray(pairs[:, 1] + 1, dtype=np.int32)
+
+        if self._nodal:
+            nc.createDimension("num_nod_var", len(self._nodal))
+            names = nc.createVariable("name_nod_var", "c",
+                                      ("num_nod_var", "len_string"))
+            for i, name in enumerate(self._nodal):
+                names[i] = _pad_name(name)
+            self._nodal_vars = [
+                nc.createVariable(f"vals_nod_var{i + 1}", "d",
+                                  ("time_step", "num_nodes"))
+                for i in range(len(self._nodal))]
+
+        if self._elem:
+            nc.createDimension("num_elem_var", len(self._elem))
+            names = nc.createVariable("name_elem_var", "c",
+                                      ("num_elem_var", "len_string"))
+            for i, name in enumerate(self._elem):
+                names[i] = _pad_name(name)
+            self._elem_vars = {}
+            for i in range(len(self._elem)):
+                for b in range(len(blocks)):
+                    self._elem_vars[(i, b)] = nc.createVariable(
+                        f"vals_elem_var{i + 1}eb{b + 1}", "d",
+                        ("time_step", f"num_el_in_blk{b + 1}"))
+
+        self._block_names = [n for n, _ in blocks]
+
+    def write_step(self, t: float,
+                   nodal_values: dict[str, np.ndarray] | None = None,
+                   element_values: dict[str, dict[str, np.ndarray]]
+                   | None = None) -> None:
+        """Append one time step.
+
+        ``nodal_values``: var name -> (num_nodes,) array;
+        ``element_values``: var name -> {block name -> (n_elems_b,)}.
+        """
+        s = self._num_steps
+        self._nc.variables["time_whole"][s] = float(t)
+        for name, vals in (nodal_values or {}).items():
+            i = self._nodal.index(name)
+            self._nodal_vars[i][s] = np.asarray(vals, dtype=float)
+        for name, by_block in (element_values or {}).items():
+            i = self._elem.index(name)
+            for b, bname in enumerate(self._block_names):
+                if bname in by_block:
+                    self._elem_vars[(i, b)][s] = np.asarray(
+                        by_block[bname], dtype=float)
+        self._num_steps += 1
+
+    def close(self) -> None:
+        self._nc.close()
+
+
+def read_results(path: Path, nodal_field_specs=None,
+                 element_field_specs=None):
+    """Read time steps + named nodal/element variables.
+
+    Returns an :class:`cmad_tpu.io.results.ExodusResults`. Vector/tensor
+    fields are reassembled from their per-component variables using the
+    component suffix conventions in io/results.py.
+    """
+    from cmad_tpu.io.results import ExodusResults, component_names
+
+    nc = _open_read(Path(path))
+    try:
+        times = np.asarray(nc.variables["time_whole"][:]).astype(float)
+        nodal = {}
+        if nodal_field_specs:
+            names = _decode_names(nc.variables["name_nod_var"][:])
+            for spec in nodal_field_specs:
+                comps = component_names(spec.name, spec.var_type)
+                cols = []
+                for comp in comps:
+                    idx = names.index(comp)
+                    cols.append(np.asarray(
+                        nc.variables[f"vals_nod_var{idx + 1}"][:]
+                    ).astype(float))
+                nodal[spec.name] = np.stack(cols, axis=-1)
+
+        element = {}
+        if element_field_specs:
+            names = _decode_names(nc.variables["name_elem_var"][:])
+            n_blocks = int(nc.dimensions.get("num_el_blk", 1))
+            block_names = (_decode_names(nc.variables["eb_names"][:])
+                           if "eb_names" in nc.variables
+                           else [f"block_{b+1}" for b in range(n_blocks)])
+            for spec in element_field_specs:
+                comps = component_names(spec.name, spec.var_type)
+                by_block = {}
+                for b in range(n_blocks):
+                    cols = []
+                    for comp in comps:
+                        idx = names.index(comp)
+                        cols.append(np.asarray(
+                            nc.variables[f"vals_elem_var{idx + 1}"
+                                         f"eb{b + 1}"][:]).astype(float))
+                    by_block[block_names[b]] = np.stack(cols, axis=-1)
+                element[spec.name] = by_block
+        return ExodusResults(times=times, nodal=nodal, element=element)
+    finally:
+        nc.close()

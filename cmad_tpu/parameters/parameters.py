@@ -152,8 +152,13 @@ class Parameters:
         span = jnp.asarray(self._span, dtype=a.dtype)
         mean = jnp.asarray(self._mean, dtype=a.dtype)
         ref = jnp.asarray(self._ref, dtype=a.dtype)
+        # double-where: exp() must see only log-transformed entries, or a
+        # large physical value in an identity slot overflows in the
+        # unselected branch and its reverse-mode cotangent turns 0 * inf
+        # into NaN
+        a_log = jnp.where(k == _LOG, a, 0.0)
         out = jnp.where(k == _BOUNDS, span * a + mean, a)
-        return jnp.where(k == _LOG, ref * jnp.exp(a), out)
+        return jnp.where(k == _LOG, ref * jnp.exp(a_log), out)
 
     def tree_with_flat_active(
             self, a: JaxArray, canonical: bool = False) -> Params:

@@ -1,0 +1,184 @@
+"""End-to-end FE CLI round-trips: primal -> Exodus, objective/gradient,
+calibration recovery from synthetic truth data.
+
+Mirrors the reference tests/cli FE intent (test_primal_fe*,
+test_calibrate_fe_roundtrip): the calibration fixture loads a cube with a
+surface traction and recovers the elastic constants from the displacement
+field written by a primal run at the true parameters.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from cmad_tpu.cli.main import main as cmad_main
+from cmad_tpu.fem.mesh import StructuredHexMesh
+from cmad_tpu.io.exodus import ExodusWriter, read_mesh, read_results
+from cmad_tpu.io.results import FieldSpec, from_exodus_storage
+from cmad_tpu.models.var_types import VarType
+
+
+@pytest.fixture
+def cube_exo(tmp_path):
+    mesh = StructuredHexMesh((1.0, 1.0, 1.0), (2, 2, 2))
+    path = tmp_path / "cube.exo"
+    w = ExodusWriter(path, mesh)
+    w.close()
+    return path
+
+
+def _plastic_deck(mesh_file, out_dir, E=200e3, nu=0.3):
+    return {
+        "problem": {"type": "fe", "name": "cube_fe"},
+        "discretization": {"mesh file": str(mesh_file),
+                           "num steps": 4, "step size": 0.25},
+        "residuals": {
+            "global residual": {"type": "small_disp_equilibrium",
+                                "def_type": "full_3d"},
+            "local residual": {
+                "type": "small_elastic_plastic",
+                "materials": {"all": {
+                    "elastic": {"E": {"value": E}, "nu": {"value": nu}},
+                    "plastic": {
+                        "effective stress": {"J2": {}},
+                        "flow stress": {
+                            "initial yield": {"Y": {"value": 200.0}},
+                            "hardening": {"voce": {
+                                "S": {"value": 200.0},
+                                "D": {"value": 20.0}}}}}}}}},
+        "dirichlet bcs": {"expression": {
+            "pin_x": ["equilibrium", 0, "xmin_sides", "0.0"],
+            "pin_y": ["equilibrium", 1, "ymin_sides", "0.0"],
+            "pin_z": ["equilibrium", 2, "zmin_sides", "0.0"],
+            "ramp_x": ["equilibrium", 0, "xmax_sides", "0.003 * t"]}},
+        "output": {"path": str(out_dir)},
+    }
+
+
+def _write(tmp_path, deck, name="deck.yaml"):
+    path = tmp_path / name
+    path.write_text(yaml.safe_dump(deck))
+    return path
+
+
+def test_exodus_mesh_round_trip(tmp_path, cube_exo):
+    mesh = StructuredHexMesh((1.0, 1.0, 1.0), (2, 2, 2))
+    mesh2 = read_mesh(cube_exo)
+    assert np.allclose(mesh.nodes, mesh2.nodes)
+    assert np.array_equal(mesh.connectivity, mesh2.connectivity)
+    assert set(mesh2.side_sets) == set(mesh.side_sets)
+    assert set(mesh2.node_sets) == set(mesh.node_sets)
+
+
+def test_fe_primal_writes_trajectory(tmp_path, cube_exo):
+    out = tmp_path / "out"
+    deck_path = _write(tmp_path, _plastic_deck(cube_exo, out))
+    assert cmad_main(["primal", str(deck_path)]) == 0
+
+    res = read_results(
+        out / "cube_fe.exo",
+        nodal_field_specs=[FieldSpec("u", VarType.VECTOR)],
+        element_field_specs=[FieldSpec("cauchy", VarType.SYM_TENSOR)])
+    assert res.times.shape == (5,)
+    assert np.isclose(res.nodal["u"][-1, :, 0].max(), 0.003)
+    cauchy = from_exodus_storage(res.element["cauchy"]["all"],
+                                 VarType.SYM_TENSOR)
+    # analytic uniaxial J2+Voce flow stress at 0.3% strain
+    assert abs(cauchy[-1, :, 0].mean() - 207.6942) < 1e-3
+
+
+def test_fe_objective_gradient_roundtrip(tmp_path, cube_exo):
+    # truth run produces displacement data
+    out_truth = tmp_path / "truth"
+    deck = _plastic_deck(cube_exo, out_truth)
+    deck_path = _write(tmp_path, deck)
+    assert cmad_main(["primal", str(deck_path)]) == 0
+    res = read_results(out_truth / "cube_fe.exo",
+                       nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+    np.save(tmp_path / "u_data.npy", res.nodal["u"])
+
+    # offset parameters, displacement-match objective + gradient
+    deck = _plastic_deck(cube_exo, tmp_path / "out2", E=220e3)
+    mat = deck["residuals"]["local residual"]["materials"]["all"]
+    mat["elastic"]["E"]["active"] = True
+    mat["elastic"]["nu"]["active"] = True
+    deck["qoi"] = {"name": "fe_displacement_match",
+                   "data_file": str(tmp_path / "u_data.npy")}
+    deck_path = _write(tmp_path, deck, "deck_obj.yaml")
+    assert cmad_main(["objective", str(deck_path)]) == 0
+    J = json.loads((tmp_path / "out2" / "J.json").read_text())["J"]
+    assert J > 0.0
+
+    assert cmad_main(["gradient", str(deck_path)]) == 0
+    grad = np.load(tmp_path / "out2" / "grad.npy")
+    assert grad.shape == (2,)
+    assert np.all(np.isfinite(grad)) and np.linalg.norm(grad) > 0.0
+
+
+def _traction_deck(mesh_file, out_dir, E=200e3, nu=0.3):
+    """Traction-loaded elastic cube: displacements depend on BOTH E and
+    nu, so both are identifiable from displacement data (under pure
+    displacement control the field is E-independent)."""
+    return {
+        "problem": {"type": "fe", "name": "cube_fe"},
+        "discretization": {"mesh file": str(mesh_file),
+                           "num steps": 2, "step size": 0.5},
+        "residuals": {
+            "global residual": {"type": "small_disp_equilibrium",
+                                "def_type": "full_3d"},
+            "local residual": {
+                "type": "elastic",
+                "materials": {"all": {
+                    "elastic": {"E": {"value": E},
+                                "nu": {"value": nu}}}}}},
+        "dirichlet bcs": {"expression": {
+            "pin_x": ["equilibrium", 0, "xmin_sides", "0.0"],
+            "pin_y": ["equilibrium", 1, "ymin_sides", "0.0"],
+            "pin_z": ["equilibrium", 2, "zmin_sides", "0.0"]}},
+        "surface flux bcs": {"expression": {
+            "pull_x": ["equilibrium", "xmax_sides", "100.0 * t",
+                       0.0, 0.0]}},
+        "output": {"path": str(out_dir)},
+    }
+
+
+def test_fe_calibrate_recovers_elastic_constants(tmp_path, cube_exo):
+    """Recover (E, nu) from a synthetic displacement field under
+    traction loading."""
+    out_truth = tmp_path / "truth"
+    deck_path = _write(tmp_path, _traction_deck(cube_exo, out_truth))
+    assert cmad_main(["primal", str(deck_path)]) == 0
+    res = read_results(out_truth / "cube_fe.exo",
+                       nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+    np.save(tmp_path / "u_data.npy", res.nodal["u"])
+
+    deck = _traction_deck(cube_exo, tmp_path / "cal", E=230e3, nu=0.27)
+    mat = deck["residuals"]["local residual"]["materials"]["all"]
+    mat["elastic"]["E"] = {"value": 230e3, "active": True,
+                           "transform": {"bounds": [150e3, 280e3]}}
+    mat["elastic"]["nu"] = {"value": 0.27, "active": True,
+                            "transform": {"bounds": [0.2, 0.4]}}
+    # weight scales J to O(1) so the optimizer's relative-reduction
+    # stopping test has something to chew on (raw J is ~1e-9)
+    deck["qoi"] = {"name": "fe_displacement_match",
+                   "data_file": str(tmp_path / "u_data.npy"),
+                   "weight": 1.0e9}
+    deck["optimizer"] = {"algorithm": "L-BFGS-B",
+                         "options": {"maxiter": 100, "ftol": 1e-14}}
+    deck_path = _write(tmp_path, deck, "deck_cal.yaml")
+    assert cmad_main(["calibrate", str(deck_path)]) == 0
+
+    out = tmp_path / "cal"
+    status = json.loads((out / "opt_status.json").read_text())
+    assert status["fun"] < 1e-6
+    active = json.loads((out / "active_params.json").read_text())
+    E_fit = active["all.elastic.E"]
+    nu_fit = active["all.elastic.nu"]
+    assert abs(E_fit - 200e3) / 200e3 < 5e-3
+    assert abs(nu_fit - 0.3) < 5e-3
+    params = yaml.safe_load((out / "opt_params.yaml").read_text())
+    assert np.isclose(params["all"]["elastic"]["E"]["value"], E_fit)
