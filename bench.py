@@ -23,7 +23,7 @@ os.environ.setdefault("CMAD_X64", "0")  # float32 on the accelerator
 REPO_ROOT = Path(__file__).resolve().parent
 
 
-def measure_ours(batch: int = 131072, reps: int = 10):
+def measure_ours(batch: int = 1_000_000, reps: int = 5):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,6 +31,7 @@ def measure_ours(batch: int = 131072, reps: int = 10):
     from cmad_tpu.models.small_rate_elastic_plastic import (
         SmallRateElasticPlastic,
     )
+    from cmad_tpu.ops.j2_radial_return import make_j2_radial_return
     from cmad_tpu.ops.return_map import make_batched_return_map
     from cmad_tpu.parameters.parameters import Parameters
 
@@ -53,14 +54,23 @@ def measure_ours(batch: int = 131072, reps: int = 10):
     grad_u_prev = jnp.zeros((batch, 3, 3), dtype=dtype)
     xi_prev = jnp.zeros((batch, model.num_dofs), dtype=dtype)
 
-    xi, sigma = step(xi_prev, grad_u, grad_u_prev, params.values)
-    jax.block_until_ready((xi, sigma))
+    def timed(fn):
+        # Timing rules for this platform: block_until_ready() does NOT
+        # reliably synchronize through the device tunnel, so force a
+        # host readback as the barrier. Chain xi through the calls so
+        # successive dispatches cannot be elided as duplicates.
+        xi, sigma = fn(xi_prev, grad_u, grad_u_prev, params.values)
+        _ = float(jnp.sum(sigma))  # warm-up + compile barrier
+        t0 = time.perf_counter()
+        xi_c = xi_prev
+        for _ in range(reps):
+            xi_c, sigma = fn(xi_c, grad_u, grad_u_prev, params.values)
+        _ = float(jnp.sum(sigma)) + float(jnp.sum(xi_c))  # readback barrier
+        dt = time.perf_counter() - t0
+        return batch * reps / dt, xi
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        xi, sigma = step(xi_prev, grad_u, grad_u_prev, params.values)
-    jax.block_until_ready((xi, sigma))
-    dt = time.perf_counter() - t0
+    ups, xi = timed(step)
+    ups_radial, _ = timed(make_j2_radial_return(params))
 
     # convergence sanity: residual at the returned state
     C = model.C_batched(xi, xi_prev, params.values,
@@ -69,7 +79,7 @@ def measure_ours(batch: int = 131072, reps: int = 10):
     frac_plastic = float((np.asarray(xi[:, 6]) > 0).mean())
 
     backend = jax.default_backend()
-    return batch * reps / dt, max_res, frac_plastic, backend
+    return ups, ups_radial, max_res, frac_plastic, backend
 
 
 def _fields(grad_u):
@@ -89,7 +99,7 @@ def main() -> None:
     else:
         baseline = None
 
-    ups, max_res, frac_plastic, backend = measure_ours()
+    ups, ups_radial, max_res, frac_plastic, backend = measure_ours()
 
     result = {
         "metric": "ip_stress_updates_per_sec",
@@ -97,6 +107,7 @@ def main() -> None:
         "unit": "updates/s",
         "vs_baseline": round(ups / baseline, 2) if baseline else None,
         "backend": backend,
+        "radial_return_updates_per_sec": round(ups_radial, 1),
         "max_residual": max_res,
         "frac_plastic": frac_plastic,
         "baseline": baseline,

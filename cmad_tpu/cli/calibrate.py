@@ -108,11 +108,22 @@ def optimize_status(result: OptimizeResult) -> dict[str, Any]:
 
 
 def active_param_paths(parameters: Parameters) -> list[str]:
-    """Dotted-path labels for the active parameters (spaces -> _)."""
+    """Dotted-path labels for the active parameters (spaces -> _).
+
+    Expanded per *scalar* (array-valued leaves like Barlat coefficient
+    vectors contribute one ``path[i]`` entry per component) so indices
+    line up with ``Parameters.active_idx``, which indexes the ravelled
+    value vector.
+    """
     flat, _ = tree_flatten_with_path(parameters.values)
     paths = []
-    for key_path, _v in flat:
+    for key_path, v in flat:
         parts = [str(getattr(k, "key", k)).replace(" ", "_")
                  for k in key_path]
-        paths.append(".".join(parts))
+        base = ".".join(parts)
+        size = int(np.asarray(v).size)
+        if size == 1:
+            paths.append(base)
+        else:
+            paths.extend(f"{base}[{i}]" for i in range(size))
     return [paths[i] for i in parameters.active_idx]

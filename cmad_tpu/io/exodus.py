@@ -319,7 +319,9 @@ def read_results(path: Path, nodal_field_specs=None,
 
     Returns an :class:`cmad_tpu.io.results.ExodusResults`. Vector/tensor
     fields are reassembled from their per-component variables using the
-    component suffix conventions in io/results.py.
+    component suffix conventions in io/results.py. With no specs, every
+    stored variable is returned raw under its per-component name (nodal
+    arrays ``(steps, nodes)``; element fields as ``{block: array}``).
     """
     from cmad_tpu.io.results import ExodusResults, component_names
 
@@ -327,6 +329,11 @@ def read_results(path: Path, nodal_field_specs=None,
     try:
         times = np.asarray(nc.variables["time_whole"][:]).astype(float)
         nodal = {}
+        if nodal_field_specs is None and "name_nod_var" in nc.variables:
+            names = _decode_names(nc.variables["name_nod_var"][:])
+            for i, name in enumerate(names):
+                nodal[name] = np.asarray(
+                    nc.variables[f"vals_nod_var{i + 1}"][:]).astype(float)
         if nodal_field_specs:
             names = _decode_names(nc.variables["name_nod_var"][:])
             for spec in nodal_field_specs:
@@ -340,6 +347,20 @@ def read_results(path: Path, nodal_field_specs=None,
                 nodal[spec.name] = np.stack(cols, axis=-1)
 
         element = {}
+        if element_field_specs is None and "name_elem_var" in nc.variables:
+            names = _decode_names(nc.variables["name_elem_var"][:])
+            n_blocks = int(nc.dimensions.get("num_el_blk", 1))
+            block_names = (_decode_names(nc.variables["eb_names"][:])
+                           if "eb_names" in nc.variables
+                           else [f"block_{b+1}" for b in range(n_blocks)])
+            for i, name in enumerate(names):
+                by_block = {}
+                for b in range(n_blocks):
+                    key = f"vals_elem_var{i + 1}eb{b + 1}"
+                    if key in nc.variables:
+                        by_block[block_names[b]] = np.asarray(
+                            nc.variables[key][:]).astype(float)
+                element[name] = by_block
         if element_field_specs:
             names = _decode_names(nc.variables["name_elem_var"][:])
             n_blocks = int(nc.dimensions.get("num_el_blk", 1))

@@ -31,6 +31,7 @@ from jax.flatten_util import ravel_pytree
 from jax.lax import while_loop
 
 from cmad_tpu import config
+from cmad_tpu.ops.linalg import solve_dense
 from cmad_tpu.typing import JaxArray
 from cmad_tpu.util.line_search import DEFAULT_LINE_SEARCH_SETTINGS, line_search
 
@@ -80,7 +81,7 @@ def make_newton_solve(
                             k=it + 1, a=jnp.linalg.norm(r),
                             r=jnp.linalg.norm(r) / norm0)
             J = jacfwd(r_flat)(x)
-            dx = jnp.linalg.solve(J, r)
+            dx = solve_dense(J, r)
 
             def probe(alpha):
                 r_trial = r_flat(x - alpha * dx)
@@ -109,7 +110,7 @@ def make_newton_solve(
         A = jacfwd(r_of_x)(flat_star)
         # dr/dargs . args_dot at the solution; guess tangent contributes 0
         _, b = jvp(r_of_args, tuple(args), tuple(args_dot))
-        x_dot = -jnp.linalg.solve(A, b)
+        x_dot = -solve_dense(A, b)
         return x_star, unravel(x_dot)
 
     return solve
@@ -152,7 +153,7 @@ def make_newton_solve_with_stats(
         def body_fn(carry):
             it, x, r = carry
             J = jacfwd(r_flat)(x)
-            dx = jnp.linalg.solve(J, r)
+            dx = solve_dense(J, r)
 
             def probe(alpha):
                 r_trial = r_flat(x - alpha * dx)

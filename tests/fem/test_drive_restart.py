@@ -46,8 +46,12 @@ def test_drive_equals_direct_solves():
         U, xi_solved = fe_newton_solve(fe, params, U, xi, t=t)
         xi = {**xi, **xi_solved}
         assert np.allclose(np.asarray(U), state.U_at(k), atol=1e-12)
+        # xi tolerance: the scan driver and the eager solves compile the
+        # unrolled per-point Gauss-Jordan in different fusion contexts,
+        # which perturbs zero stress components at machine epsilon
+        # relative to the O(1e2) stress scale (~5e-13 absolute).
         assert np.allclose(np.asarray(xi["all"]),
-                           state.xi_at(k, "all"), atol=1e-12)
+                           state.xi_at(k, "all"), atol=1e-10)
 
 
 def test_restart_from_recorded_state():
