@@ -53,24 +53,44 @@ def measure_ours(batch: int = 1_000_000, reps: int = 5):
     grad_u = jnp.asarray(eps, dtype=dtype)
     grad_u_prev = jnp.zeros((batch, 3, 3), dtype=dtype)
     xi_prev = jnp.zeros((batch, model.num_dofs), dtype=dtype)
+    # push params to device once: host numpy leaves would otherwise be
+    # re-uploaded through the tunnel on every dispatch
+    pv = jax.tree.map(lambda x: jnp.asarray(x, dtype), params.values)
 
-    def timed(fn):
+    def timed(fn, xi0, gu, gu0, n_reps):
         # Timing rules for this platform: block_until_ready() does NOT
         # reliably synchronize through the device tunnel, so force a
         # host readback as the barrier. Chain xi through the calls so
         # successive dispatches cannot be elided as duplicates.
-        xi, sigma = fn(xi_prev, grad_u, grad_u_prev, params.values)
-        _ = float(jnp.sum(sigma))  # warm-up + compile barrier
-        t0 = time.perf_counter()
-        xi_c = xi_prev
-        for _ in range(reps):
-            xi_c, sigma = fn(xi_c, grad_u, grad_u_prev, params.values)
-        _ = float(jnp.sum(sigma)) + float(jnp.sum(xi_c))  # readback barrier
-        dt = time.perf_counter() - t0
-        return batch * reps / dt, xi
+        # burn-in: compile + device warmup (the first post-compile round
+        # of dispatches runs ~4x slow through the tunnel)
+        xi, sigma = fn(xi0, gu, gu0, pv)
+        _ = float(jnp.sum(sigma))  # compile barrier
+        best = float("inf")
+        for _round in range(3):  # best-of-3: tunnel warmup fades over ~1s
+            t0 = time.perf_counter()
+            xi_c = xi0
+            for _ in range(n_reps):
+                xi_c, sigma = fn(xi_c, gu, gu0, pv)
+            _ = float(jnp.sum(sigma)) + float(jnp.sum(xi_c))  # readback
+            best = min(best, time.perf_counter() - t0)
+        return xi0.shape[0] * n_reps / best, xi
 
-    ups, xi = timed(step)
-    ups_radial, _ = timed(make_j2_radial_return(params))
+    ups, xi = timed(step, xi_prev, grad_u, grad_u_prev, reps)
+
+    # the radial-return kernel is fast enough that per-dispatch latency
+    # dominates at 1M points — amortize with a 4x larger batch
+    if jax.default_backend() == "tpu":
+        from cmad_tpu.ops.pallas_radial_return import (
+            make_pallas_j2_radial_return,
+        )
+        radial = make_pallas_j2_radial_return(params)
+    else:
+        radial = make_j2_radial_return(params)
+    gu4 = jnp.tile(grad_u, (4, 1, 1))
+    gu04 = jnp.tile(grad_u_prev, (4, 1, 1))
+    xi4 = jnp.tile(xi_prev[:, :7], (4, 1))
+    ups_radial, _ = timed(radial, xi4, gu4, gu04, 2 * reps)
 
     # convergence sanity: residual at the returned state
     C = model.C_batched(xi, xi_prev, params.values,

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel for the analytic J2 radial return.
+
+Hand-scheduled variant of :mod:`cmad_tpu.ops.j2_radial_return`: one
+fused VMEM-resident pass per point tile — elastic predictor, trial
+deviator, scalar Newton on the plastic multiplier, and the radial
+corrector — with no intermediate HBM round-trips.
+
+Layout is component-major: the batch rides the TPU lane axis and the
+(few) state components ride sublanes, so every op in the kernel is a
+full-width VPU op. Rows of the packed input (16, B):
+
+    0:6   sigma_prev  (internal sym-vec order xx, xy, xz, yy, yz, zz)
+    6     alpha_prev
+    7:13  delta strain (same order)
+    13:16 padding (sublane alignment)
+
+Output (8, B): rows 0:6 updated stress, row 6 alpha, row 7 padding.
+Material scalars arrive via scalar prefetch (SMEM).
+
+Semantics (and the verification oracle) match the XLA-fused kernel in
+ops/j2_radial_return.py; parity with reference
+``cmad/models/small_rate_elastic_plastic.py:249`` J2 branch.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmad_tpu.models.elastic_constants import ElasticConstants
+from cmad_tpu.typing import JaxArray
+
+_NEWTON_ITERS = 8
+_TILE = 2048  # lanes per grid step (16 sublane-rows x 2048 f32 = 128 KiB)
+
+
+def _kernel(scalars_ref, packed_ref, out_ref):
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    sp = packed_ref[0:6, :]          # sigma_prev rows
+    alpha_prev = packed_ref[6:7, :]
+    de = packed_ref[7:13, :]         # delta strain rows
+
+    # elastic predictor: dsig = lam tr(de) I + 2 mu de
+    tr = de[0:1, :] + de[3:4, :] + de[5:6, :]
+    two_mu = 2.0 * mu
+    diag = lam * tr
+    s_tr0 = sp[0:1, :] + diag + two_mu * de[0:1, :]
+    s_tr3 = sp[3:4, :] + diag + two_mu * de[3:4, :]
+    s_tr5 = sp[5:6, :] + diag + two_mu * de[5:6, :]
+    s_tr1 = sp[1:2, :] + two_mu * de[1:2, :]
+    s_tr2 = sp[2:3, :] + two_mu * de[2:3, :]
+    s_tr4 = sp[4:5, :] + two_mu * de[4:5, :]
+
+    p_tr = (s_tr0 + s_tr3 + s_tr5) / 3.0
+    d0 = s_tr0 - p_tr
+    d3 = s_tr3 - p_tr
+    d5 = s_tr5 - p_tr
+    phi_sq = d0 * d0 + d3 * d3 + d5 * d5 + \
+        2.0 * (s_tr1 * s_tr1 + s_tr2 * s_tr2 + s_tr4 * s_tr4)
+    phi_tr = jnp.sqrt(1.5 * phi_sq)
+
+    f_trial = phi_tr - Y - S * (1.0 - jnp.exp(-D * alpha_prev))
+    plastic = f_trial > 0.0
+
+    def newton(_, dg):
+        e = jnp.exp(-D * (alpha_prev + dg))
+        g = phi_tr - 3.0 * mu * dg - Y - S * (1.0 - e)
+        dgd = -3.0 * mu - S * D * e
+        dg_new = dg - g / dgd
+        return jnp.where(plastic, jnp.maximum(dg_new, 0.0), 0.0)
+
+    dg = jax.lax.fori_loop(0, _NEWTON_ITERS, newton,
+                           jnp.zeros_like(alpha_prev))
+
+    safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
+    scale = jnp.where(plastic, 3.0 * mu * dg / safe_phi, 0.0)
+
+    out_ref[0:1, :] = s_tr0 - scale * d0
+    out_ref[1:2, :] = s_tr1 - scale * s_tr1
+    out_ref[2:3, :] = s_tr2 - scale * s_tr2
+    out_ref[3:4, :] = s_tr3 - scale * d3
+    out_ref[4:5, :] = s_tr4 - scale * s_tr4
+    out_ref[5:6, :] = s_tr5 - scale * d5
+    out_ref[6:7, :] = alpha_prev + dg
+    out_ref[7:8, :] = jnp.zeros_like(alpha_prev)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call(packed: JaxArray, scalars: JaxArray,
+          interpret: bool = False) -> JaxArray:
+    B = packed.shape[1]
+    grid = (B // _TILE,)
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec((16, _TILE), lambda i, s: (0, i))],
+            out_specs=pl.BlockSpec((8, _TILE), lambda i, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, B), packed.dtype),
+        interpret=interpret,
+    )(scalars, packed)
+
+
+def make_pallas_j2_radial_return(parameters, interpret: bool | None = None):
+    """Build ``step(xi_prev, grad_u, grad_u_prev, params) -> (xi, sigma)``
+    with the same contract as :func:`make_j2_radial_return`, backed by a
+    Pallas TPU kernel. ``interpret=None`` auto-enables interpreter mode
+    off-TPU (CPU verification path).
+    """
+    del parameters  # layout fixed by the J2+Voce model
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def step(xi_prev: JaxArray, grad_u: JaxArray, grad_u_prev: JaxArray,
+             params) -> tuple[JaxArray, JaxArray]:
+        ec = ElasticConstants.from_params(params["elastic"])
+        plastic = params["plastic"]
+        dtype = grad_u.dtype
+        scalars = jnp.stack([
+            ec.mu, ec.lmbda,
+            plastic["flow stress"]["initial yield"]["Y"],
+            plastic["flow stress"]["hardening"]["voce"]["S"],
+            plastic["flow stress"]["hardening"]["voce"]["D"],
+        ]).astype(dtype)
+
+        B = xi_prev.shape[0]
+        d = 0.5 * ((grad_u + jnp.swapaxes(grad_u, -1, -2))
+                   - (grad_u_prev + jnp.swapaxes(grad_u_prev, -1, -2)))
+        de6 = jnp.stack([d[..., 0, 0], d[..., 0, 1], d[..., 0, 2],
+                         d[..., 1, 1], d[..., 1, 2], d[..., 2, 2]], axis=-1)
+
+        packed = jnp.concatenate([
+            xi_prev[:, :7], de6,
+            jnp.zeros((B, 3), dtype=dtype)], axis=1).T  # (16, B)
+
+        pad = (-B) % _TILE
+        if pad:
+            packed = jnp.pad(packed, ((0, 0), (0, pad)))
+
+        out = _call(packed, scalars, interpret=interpret)[:, :B]
+
+        xi = out[:7, :].T
+        sv = xi[:, :6]
+        sigma = jnp.stack([
+            jnp.stack([sv[:, 0], sv[:, 1], sv[:, 2]], axis=-1),
+            jnp.stack([sv[:, 1], sv[:, 3], sv[:, 4]], axis=-1),
+            jnp.stack([sv[:, 2], sv[:, 4], sv[:, 5]], axis=-1),
+        ], axis=-2)
+        return xi, sigma
+
+    return jax.jit(step)
