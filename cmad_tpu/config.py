@@ -44,12 +44,18 @@ _X64_ENABLED: bool | None = None
 
 
 def setup() -> None:
-    """Apply the x64 policy once, at package import."""
+    """Apply the precision policy once, at package import."""
     global _X64_ENABLED
     if _X64_ENABLED is not None:
         return
     _X64_ENABLED = _decide_x64()
     jax.config.update("jax_enable_x64", _X64_ENABLED)
+    # TPU f32 matmuls/einsums default to bfloat16 MXU passes (~1e-3
+    # relative error) — fine for NN training, fatal for an implicit FE
+    # code: the global Newton stagnates ~1000x above the f32 floor
+    # because the assembled Jacobian no longer matches the residual.
+    # Force true-f32 matmul accumulation (no-op on CPU f64).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def x64_enabled() -> bool:
@@ -81,6 +87,9 @@ def newton_tols(kind: str = "mp_local") -> tuple[float, float]:
         table = {
             "mp_local": (1e-6, 1e-6),
             "fe_local": (1e-5, 1e-5),
-            "fe_global": (1e-4, 1e-4),
+            # with true-f32 matmul precision (see setup) the global
+            # Newton reaches ~1e-5 relative; abs 1e-6 is the f32 floor
+            # guard for tiny problems
+            "fe_global": (1e-6, 1e-5),
         }
     return table[kind]
