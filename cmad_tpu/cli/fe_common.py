@@ -127,8 +127,13 @@ def build_fe_problem_from_deck(deck_path: Path,
             local_section.get("print convergence", False)),
         local_newton_settings={
             "max_iters": int(local_section["nonlinear max iters"]),
-            "abs_tol": float(local_section["nonlinear absolute tol"]),
-            "rel_tol": float(local_section["nonlinear relative tol"]),
+            # deck tolerances are f64-calibrated; clamp to dtype floor
+            **dict(zip(
+                ("abs_tol", "rel_tol"),
+                config.clamp_newton_tols(
+                    float(local_section["nonlinear absolute tol"]),
+                    float(local_section["nonlinear relative tol"]),
+                    "fe_local"))),
             "line_search_settings": local_section.get("line search", {}),
         })
 
@@ -189,8 +194,12 @@ def build_fe_J_of_params_flat(bundle: FEProblemBundle,
         fe_problem,
         nonlinear_solver_settings={
             "max iters": int(gr_section["nonlinear max iters"]),
-            "abs tol": float(gr_section["nonlinear absolute tol"]),
-            "rel tol": float(gr_section["nonlinear relative tol"]),
+            **dict(zip(
+                ("abs tol", "rel tol"),
+                config.clamp_newton_tols(
+                    float(gr_section["nonlinear absolute tol"]),
+                    float(gr_section["nonlinear relative tol"]),
+                    "fe_global"))),
             "print convergence": print_global_convergence,
             "line search": gr_section.get("line search", {}),
         },

@@ -17,6 +17,7 @@ from jax import jit, value_and_grad
 from jax.tree_util import tree_flatten_with_path
 from scipy.optimize import minimize
 
+from cmad_tpu import config
 from cmad_tpu.cli.calibrate import (
     active_param_paths,
     optimize_status,
@@ -47,9 +48,11 @@ from cmad_tpu.io.writers import (
 
 def _nls_settings(bundle: FEProblemBundle) -> dict[str, Any]:
     gr = bundle.resolved["residuals"]["global residual"]
+    abs_tol, rel_tol = config.clamp_newton_tols(
+        float(gr["nonlinear absolute tol"]),
+        float(gr["nonlinear relative tol"]), "fe_global")
     return {"max iters": int(gr["nonlinear max iters"]),
-            "abs tol": float(gr["nonlinear absolute tol"]),
-            "rel tol": float(gr["nonlinear relative tol"]),
+            "abs tol": abs_tol, "rel tol": rel_tol,
             "print convergence": bool(gr.get("print convergence", False)),
             "line search": gr.get("line search", {})}
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from cmad_tpu import config
 from cmad_tpu.cli.common import build_mp_problem, resolve_output
 from cmad_tpu.io.deck import load_deck, unwrap_top_level
 from cmad_tpu.io.writers import (
@@ -65,11 +66,13 @@ def run_primal_pass(model, F: np.ndarray, newton_kwargs: dict[str, Any],
     ``solver_log``: per-step {iters, final_residual}; ``J`` accumulates
     the QoI when one is supplied (``cmad objective`` path).
     """
+    abs_tol, rel_tol = config.clamp_newton_tols(
+        float(newton_kwargs["abs_tol"]), float(newton_kwargs["rel_tol"]),
+        "mp_local")
     solve = make_newton_solve_with_stats(
         model.residual_fun,
         max_iters=int(newton_kwargs["max_iters"]),
-        abs_tol=float(newton_kwargs["abs_tol"]),
-        rel_tol=float(newton_kwargs["rel_tol"]))
+        abs_tol=abs_tol, rel_tol=rel_tol)
     params = model.parameters.values
     num_steps = F.shape[2] - 1
     F_steps = jnp.moveaxis(jnp.asarray(F), -1, 0)

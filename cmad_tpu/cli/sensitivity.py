@@ -11,6 +11,7 @@ from typing import Any, Protocol
 
 import numpy as np
 
+from cmad_tpu import config
 from cmad_tpu.models.nonlinear_solver import make_newton_solve
 from cmad_tpu.objectives.mp_jvp_objective import MPJVPObjective
 from cmad_tpu.objectives.mp_objective import (
@@ -50,11 +51,13 @@ class _JVPDriver:
     def __init__(self, qoi: QoI, global_state,
                  newton_kwargs: dict[str, Any]) -> None:
         model = qoi.model()
+        abs_tol, rel_tol = config.clamp_newton_tols(
+            float(newton_kwargs["abs_tol"]),
+            float(newton_kwargs["rel_tol"]), "mp_local")
         update_fun = make_newton_solve(
             model.residual_fun,
             max_iters=int(newton_kwargs["max_iters"]),
-            abs_tol=float(newton_kwargs["abs_tol"]),
-            rel_tol=float(newton_kwargs["rel_tol"]))
+            abs_tol=abs_tol, rel_tol=rel_tol)
         self._obj = MPJVPObjective(qoi, global_state, update_fun)
 
     def evaluate_grad(self, x) -> GradientResult:

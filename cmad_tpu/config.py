@@ -93,3 +93,20 @@ def newton_tols(kind: str = "mp_local") -> tuple[float, float]:
             "fe_global": (1e-6, 1e-5),
         }
     return table[kind]
+
+
+def clamp_newton_tols(abs_tol: float, rel_tol: float,
+                      kind: str) -> tuple[float, float]:
+    """Clamp deck-specified Newton tolerances to the dtype floor.
+
+    Decks are written against the reference's f64 tolerances (1e-12..
+    1e-14). Under the f32 policy those are unreachable: the local
+    Newton would spin to its iteration cap with the line search
+    shrinking steps into rounding noise (observed to both slow down and
+    corrupt f32 notch runs). The same deck must run on both platforms,
+    so tolerances tighter than the f32 floor are raised to it.
+    """
+    if x64_enabled():
+        return abs_tol, rel_tol
+    floor_abs, floor_rel = newton_tols(kind)
+    return max(abs_tol, floor_abs), max(rel_tol, floor_rel)

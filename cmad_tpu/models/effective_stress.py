@@ -74,17 +74,26 @@ def barlat_effective_stress(cauchy: JaxArray, params: dict[str, Any]) -> JaxArra
 
 def hosford_effective_stress(cauchy: JaxArray, params: dict[str, Any]) -> JaxArray:
     """Hosford (diagonal-stress form, matching the reference
-    effective_stress.py:168): rescaled by the von Mises stress so the
-    a-th powers stay O(1) even for a = 100 — essential in float32."""
+    effective_stress.py:168), rescaled by the LARGEST diagonal stress
+    difference (logsumexp-style) so the a-th powers live in [0, 1] with
+    the max ratio pinned at exactly 1. A von-Mises rescale is NOT
+    enough in float32: for stress states whose diagonal differences are
+    all small relative to vm (e.g. dominated by shear), every
+    ``(d/vm)**a`` underflows to 0 at a = 100 and the outer
+    ``0 ** (1/a)`` produces NaN gradients that poison the whole batched
+    return map."""
     a = params["effective stress"]["hosford"]["a"]
-    vm = J2_effective_stress(cauchy)
-    safe_vm = jnp.where(vm > 0.0, vm, 1.0)
-    sc = cauchy / safe_vm[..., None, None]
-    d01 = jnp.abs(sc[..., 0, 0] - sc[..., 1, 1]) ** a
-    d12 = jnp.abs(sc[..., 1, 1] - sc[..., 2, 2]) ** a
-    d20 = jnp.abs(sc[..., 2, 2] - sc[..., 0, 0]) ** a
-    phi = vm * (0.5 * (d01 + d12 + d20)) ** (1.0 / a)
-    return jnp.where(vm > 0.0, phi, 0.0)
+    d01 = jnp.abs(cauchy[..., 0, 0] - cauchy[..., 1, 1])
+    d12 = jnp.abs(cauchy[..., 1, 1] - cauchy[..., 2, 2])
+    d20 = jnp.abs(cauchy[..., 2, 2] - cauchy[..., 0, 0])
+    m = jnp.maximum(jnp.maximum(d01, d12), d20)
+    safe_m = jnp.where(m > 0.0, m, 1.0)
+    base = 0.5 * ((d01 / safe_m) ** a + (d12 / safe_m) ** a
+                  + (d20 / safe_m) ** a)
+    # double-where: keep the unselected branch's pow off base = 0
+    safe_base = jnp.where(m > 0.0, base, 1.0)
+    phi = safe_m * safe_base ** (1.0 / a)
+    return jnp.where(m > 0.0, phi, 0.0)
 
 
 # ----------------------------------------------------------------------
