@@ -112,6 +112,80 @@ def _fields(grad_u):
         grad_fields={"u": grad_u})
 
 
+def measure_notch_wall():
+    """Warm wall-clock of the notch_hosford forward solve (north star
+    #2; see benchmarks/notch_hosford/). Uses the reference's own mesh
+    when mounted, else the repo's generated notch mesh. Returns
+    (warm_s, baseline_s_or_None) or None if no mesh is available."""
+    import shutil
+    import tempfile
+
+    import yaml
+
+    mesh = Path("/root/reference/examples/meshes/notch.exo")
+    ref_json = REPO_ROOT / "benchmarks/notch_hosford/reference_notch.json"
+    ref_wall = (json.loads(ref_json.read_text())["value"]
+                if ref_json.exists() else None)
+    if not mesh.exists():
+        mesh = REPO_ROOT / "examples/meshes/notch_h0.080.exo"
+        ref_wall = None  # different mesh — not comparable
+        if not mesh.exists():
+            return None
+
+    import jax
+    import jax.numpy as jnp
+
+    workdir = Path(tempfile.mkdtemp(prefix="bench_notch_"))
+    (workdir / "meshes").mkdir()
+    shutil.copy(mesh, workdir / "meshes/notch.exo")
+    deck = yaml.safe_load(
+        (REPO_ROOT / "examples/notch_hosford.yaml").read_text())
+    deck["discretization"]["mesh file"] = "meshes/notch.exo"
+    deck.pop("output", None)
+    if jax.default_backend() == "tpu":
+        deck["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
+                                 "max iters": 2000,
+                                 "preconditioner": {"type": "jacobi"}}
+    (workdir / "deck.yaml").write_text(yaml.safe_dump(deck))
+
+    from cmad_tpu.cli.fe_common import build_fe_problem_from_deck
+    from cmad_tpu.fem.assembly import params_by_block_from_models
+    from cmad_tpu.fem.driver import build_fe_quasistatic_trajectory
+    from cmad_tpu.fem.fe_problem import FEState
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        bundle = build_fe_problem_from_deck("deck.yaml", "primal")
+        fe = bundle.fe_problem
+        kwargs = {}
+        if "linear solver" in deck:
+            ls = deck["linear solver"]
+            kwargs["linear_solver_settings"] = {
+                "type": ls["type"], "rtol": ls["rtol"],
+                "max iters": ls["max iters"],
+                "preconditioner": ls["preconditioner"]}
+        trajectory = build_fe_quasistatic_trajectory(fe, **kwargs)
+        params = params_by_block_from_models(fe)
+        st0 = FEState.from_problem(fe)
+        state_init = (jnp.asarray(st0.U_at(0)),
+                      {b: jnp.asarray(st0.xi_at(0, b))
+                       for b in fe.models_by_block})
+        t_jax = jnp.asarray([float(t) for t in bundle.t_schedule])
+        import jax as _jax
+        run = _jax.jit(lambda p, s: trajectory(fe.kernel_arrays, p, s,
+                                               t_jax))
+        U_steps, _, _ = run(params, state_init)
+        _ = float(jnp.sum(U_steps))  # compile + readback barrier
+        t0 = time.perf_counter()
+        U_steps, _, _ = run(params, state_init)
+        _ = float(jnp.sum(U_steps))
+        warm = time.perf_counter() - t0
+    finally:
+        os.chdir(cwd)
+    return warm, ref_wall
+
+
 def main() -> None:
     baseline_file = REPO_ROOT / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -120,6 +194,11 @@ def main() -> None:
         baseline = None
 
     ups, ups_radial, max_res, frac_plastic, backend = measure_ours()
+    notch = None
+    try:
+        notch = measure_notch_wall()
+    except Exception:
+        pass
 
     result = {
         "metric": "ip_stress_updates_per_sec",
@@ -133,6 +212,12 @@ def main() -> None:
         "baseline": baseline,
         "baseline_hardware": "reference cmad on host CPU (float64)",
     }
+    if notch is not None:
+        warm, ref_wall = notch
+        result["notch_hosford_wall_s"] = round(warm, 2)
+        if ref_wall is not None:
+            result["notch_vs_baseline"] = round(ref_wall / warm, 2)
+            result["notch_baseline_wall_s"] = ref_wall
     print(json.dumps(result))
 
 
