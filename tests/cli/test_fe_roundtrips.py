@@ -182,3 +182,82 @@ def test_fe_calibrate_recovers_elastic_constants(tmp_path, cube_exo):
     assert abs(nu_fit - 0.3) < 5e-3
     params = yaml.safe_load((out / "opt_params.yaml").read_text())
     assert np.isclose(params["all"]["elastic"]["E"]["value"], E_fit)
+
+
+def test_fe_load_match_roundtrip(tmp_path, cube_exo):
+    """Primal in write mode emits the reaction series; a matching deck
+    scores ~0 at truth and > 0 at perturbed stiffness (parity:
+    reference tests/cli/test_load_match_roundtrip.py)."""
+    reaction_csv = tmp_path / "reaction.csv"
+    out_truth = tmp_path / "truth"
+    deck = _plastic_deck(cube_exo, out_truth)
+    deck["qoi"] = {"name": "fe_load_match", "sideset": "xmax_sides",
+                   "components": [0],
+                   "output_file": str(reaction_csv)}
+    assert cmad_main(["primal", str(_write(tmp_path, deck))]) == 0
+    series = np.loadtxt(reaction_csv, delimiter=",")
+    assert series.shape[0] == 5  # t=0 row + one per load step
+    assert np.all(np.diff(np.atleast_1d(series)) >= -1e-8)  # monotone pull
+
+    # match mode at the true parameters -> J at the noise floor
+    deck = _plastic_deck(cube_exo, tmp_path / "out_match")
+    deck["qoi"] = {"name": "fe_load_match", "sideset": "xmax_sides",
+                   "components": [0],
+                   "data_file": str(reaction_csv)}
+    deck_path = _write(tmp_path, deck, "deck_match.yaml")
+    assert cmad_main(["objective", str(deck_path)]) == 0
+    J_truth = json.loads(
+        (tmp_path / "out_match" / "J.json").read_text())["J"]
+    assert J_truth < 1e-16
+
+    # perturbed stiffness -> positive mismatch and a finite gradient
+    deck = _plastic_deck(cube_exo, tmp_path / "out_off", E=220e3)
+    mat = deck["residuals"]["local residual"]["materials"]["all"]
+    mat["elastic"]["E"]["active"] = True
+    deck["qoi"] = {"name": "fe_load_match", "sideset": "xmax_sides",
+                   "components": [0],
+                   "data_file": str(reaction_csv)}
+    deck_path = _write(tmp_path, deck, "deck_off.yaml")
+    assert cmad_main(["objective", str(deck_path)]) == 0
+    J_off = json.loads((tmp_path / "out_off" / "J.json").read_text())["J"]
+    assert J_off > J_truth + 1e-6
+    assert cmad_main(["gradient", str(deck_path)]) == 0
+    grad = np.load(tmp_path / "out_off" / "grad.npy")
+    assert np.all(np.isfinite(grad)) and np.linalg.norm(grad) > 0.0
+
+
+def test_fe_weighted_sum_and_displacement_l2(tmp_path, cube_exo):
+    """fe_weighted_sum combines terms linearly; fe_displacement_l2 is
+    positive under load (parity: reference tests/cli/
+    test_weighted_sum_roundtrip.py, tests/qois/
+    test_fe_displacement_l2.py)."""
+    # truth displacement data
+    out_truth = tmp_path / "truth"
+    deck = _plastic_deck(cube_exo, out_truth)
+    assert cmad_main(["primal", str(_write(tmp_path, deck))]) == 0
+    res = read_results(out_truth / "cube_fe.exo",
+                       nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+    np.save(tmp_path / "u_data.npy", res.nodal["u"])
+
+    def run_objective(qoi, name):
+        deck = _plastic_deck(cube_exo, tmp_path / name, E=220e3)
+        deck["qoi"] = qoi
+        path = _write(tmp_path, deck, f"{name}.yaml")
+        assert cmad_main(["objective", str(path)]) == 0
+        return json.loads(
+            (tmp_path / name / "J.json").read_text())["J"]
+
+    J_l2 = run_objective({"name": "fe_displacement_l2"}, "l2")
+    assert J_l2 > 0.0
+
+    J_match = run_objective(
+        {"name": "fe_displacement_match",
+         "data_file": str(tmp_path / "u_data.npy")}, "match")
+    assert J_match > 0.0
+
+    J_sum = run_objective(
+        {"name": "fe_weighted_sum", "terms": [
+            {"name": "fe_displacement_l2", "term_weight": 2.0},
+            {"name": "fe_displacement_match", "term_weight": 3.0,
+             "data_file": str(tmp_path / "u_data.npy")}]}, "sum")
+    assert np.isclose(J_sum, 2.0 * J_l2 + 3.0 * J_match, rtol=1e-10)
