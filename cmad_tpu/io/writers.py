@@ -36,7 +36,7 @@ def write_cauchy(out_dir: Path, prefix: str, cauchy, fmt: str) -> None:
     else:
         flat = np.asarray(cauchy).transpose(2, 0, 1).reshape(-1, 9)
         np.savetxt(out_dir / f"{prefix}cauchy.csv", flat,
-                   header=_CAUCHY_HEADER)
+                   header=_CAUCHY_HEADER, delimiter=",")
 
 
 def write_xi(out_dir: Path, prefix: str, xi_trajectory, layout,
@@ -51,13 +51,14 @@ def write_xi(out_dir: Path, prefix: str, xi_trajectory, layout,
     if fmt == "npy":
         np.save(out_dir / f"{prefix}xi.npy", xi)
     else:
-        np.savetxt(out_dir / f"{prefix}xi.csv", xi)
+        np.savetxt(out_dir / f"{prefix}xi.csv", xi, delimiter=",")
     for k, name in enumerate(layout.var_names):
         block = xi[:, layout.slc(name)]
         if fmt == "npy":
             np.save(out_dir / f"{prefix}xi_block_{k:02d}.npy", block)
         else:
-            np.savetxt(out_dir / f"{prefix}xi_block_{k:02d}.csv", block)
+            np.savetxt(out_dir / f"{prefix}xi_block_{k:02d}.csv", block,
+                       delimiter=",")
 
 
 def write_solver_log(out_dir: Path, prefix: str,
@@ -76,7 +77,7 @@ def write_grad(out_dir: Path, prefix: str, grad, fmt: str) -> None:
     if fmt == "npy":
         np.save(out_dir / f"{prefix}grad.npy", grad)
     else:
-        np.savetxt(out_dir / f"{prefix}grad.csv", grad)
+        np.savetxt(out_dir / f"{prefix}grad.csv", grad, delimiter=",")
 
 
 def write_hessian(out_dir: Path, prefix: str, hessian, fmt: str) -> None:
@@ -84,7 +85,7 @@ def write_hessian(out_dir: Path, prefix: str, hessian, fmt: str) -> None:
     if fmt == "npy":
         np.save(out_dir / f"{prefix}hess.npy", hessian)
     else:
-        np.savetxt(out_dir / f"{prefix}hess.csv", hessian)
+        np.savetxt(out_dir / f"{prefix}hess.csv", hessian, delimiter=",")
 
 
 def write_resolved_deck(out_dir: Path, prefix: str,

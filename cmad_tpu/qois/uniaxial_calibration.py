@@ -26,7 +26,8 @@ class UniaxialCalibration(QoI):
     def __init__(self, model: Model, data: np.ndarray, weight: np.ndarray,
                  uniaxial_stress_idx: int = 0,
                  stretch_var_name: str = "off-axis stretches") -> None:
-        assert data.shape == weight.shape
+        # per-row weights broadcast over the step axis
+        weight = np.broadcast_to(np.asarray(weight), data.shape)
         qoi_fun = partial(
             self._qoi, cauchy_fun=model.cauchy_fun,
             uniaxial_stress_idx=uniaxial_stress_idx,

@@ -191,3 +191,79 @@ def test_unknown_model_rejected(workspace):
     deck_path = _write_deck(tmp_path, deck, drop=("qoi", "sensitivity"))
     with pytest.raises(ValueError, match="not registered"):
         cmad_main(["primal", str(deck_path)])
+
+
+def test_uniaxial_calibration_roundtrip(tmp_path):
+    """uniaxial_calibration QoI recovers the yield stress from axial
+    stress + off-axis stretch data (parity: reference
+    cmad/qois/uniaxial_calibration.py via the deck CLI)."""
+    num_steps = 20
+    eps = np.r_[0.0, np.linspace(0.0008, 0.012, num_steps)]
+    F = np.repeat(np.eye(1)[:, :, None], num_steps + 1, axis=2)
+    F[0, 0, :] += eps
+    np.save(tmp_path / "F.npy", F)
+
+    def deck_for(Y, active, out):
+        params = _params_section()
+        yld = params["plastic"]["flow stress"]["initial yield"]["Y"]
+        yld["value"] = Y
+        if not active:
+            for leaf in (yld,
+                         params["plastic"]["flow stress"]["hardening"]
+                         ["voce"]["S"],
+                         params["plastic"]["flow stress"]["hardening"]
+                         ["voce"]["D"]):
+                leaf.pop("active", None)
+                leaf.pop("transform", None)
+        return {
+            "problem": {"type": "material_point", "name": "uniax"},
+            "model": {"name": "small_rate_elastic_plastic",
+                      "def_type": "uniaxial_stress"},
+            "parameters": params,
+            "deformation": {"history_file": str(tmp_path / "F.npy")},
+            "solver": {"newton": {}},
+            "output": {"path": str(out)},
+        }
+
+    # truth run at Y=200 -> data rows [sigma_axial, e_off1, e_off2]
+    truth = deck_for(200.0, active=False, out=tmp_path / "truth")
+    assert cmad_main(["primal", str(_write_deck(tmp_path, truth))]) == 0
+    cauchy = np.load(tmp_path / "truth" / "cauchy.npy")
+    xi = np.load(tmp_path / "truth" / "xi.npy")
+    data = np.stack([cauchy[0, 0, :], xi[:, 7] - 1.0, xi[:, 8] - 1.0])
+    np.save(tmp_path / "data.npy", data)
+
+    # calibrate from a perturbed start
+    deck = deck_for(240.0, active=True, out=tmp_path / "cal")
+    deck["qoi"] = {"name": "uniaxial_calibration",
+                   "data_file": str(tmp_path / "data.npy"),
+                   "uniaxial_stress_idx": 0,
+                   "weight": [[1.0], [1.0e4], [1.0e4]]}
+    deck["sensitivity"] = {"type": "adjoint"}
+    deck["optimizer"] = {"algorithm": "L-BFGS-B"}
+    path = tmp_path / "deck_cal.yaml"
+    path.write_text(yaml.safe_dump(deck))
+    assert cmad_main(["calibrate", str(path)]) == 0
+
+    opt = yaml.safe_load((tmp_path / "cal" / "opt_params.yaml").read_text())
+    Y_fit = opt["plastic"]["flow stress"]["initial yield"]["Y"]["value"]
+    assert abs(Y_fit - 200.0) < 0.5
+
+
+def test_text_output_format(workspace):
+    """output.format: text writes csv artifacts (parity: reference
+    writers' txt arm)."""
+    tmp_path, deck, cauchy_true = workspace
+    deck["output"]["format"] = "text"
+    deck_path = _write_deck(tmp_path, deck)
+    assert cmad_main(["gradient", str(deck_path)]) == 0
+    out = tmp_path / "out"
+    grad = np.loadtxt(out / "grad.csv")
+    assert grad.shape == (3,)
+    assert np.all(np.isfinite(grad))
+
+    deck_path = _write_deck(tmp_path, deck, drop=("qoi", "sensitivity"))
+    assert cmad_main(["primal", str(deck_path)]) == 0
+    flat = np.loadtxt(out / "cauchy.csv", delimiter=",")
+    assert flat.shape[0] == NUM_STEPS + 1
+    assert (out / "xi.csv").exists()
