@@ -17,23 +17,68 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import vmap
 
+from cmad_tpu.models.deformation_types import DefType
 from cmad_tpu.models.global_fields import GlobalFieldsAtPoint
 from cmad_tpu.models.nonlinear_solver import make_newton_solve
 from cmad_tpu.typing import JaxArray
 
 
+def j2_voce_specializable(model) -> bool:
+    """True when ``model`` is the rate-form J2+Voce FULL_3D model with a
+    fixed identity material rotation — the exact case the analytic
+    radial return (ops/j2_radial_return.py, 80x the generic kernel)
+    reproduces to the Newton tolerance. The rotation must be inactive:
+    specialization keys on build-time STRUCTURE, and a calibrated
+    rotation could change at call time."""
+    from cmad_tpu.models.small_rate_elastic_plastic import (
+        SmallRateElasticPlastic,
+    )
+    if type(model) is not SmallRateElasticPlastic:
+        return False
+    if model._def_type != DefType.FULL_3D:
+        return False
+    vals = model.parameters.values
+    try:
+        plastic = vals["plastic"]
+        if set(plastic["effective stress"]) != {"J2"}:
+            return False
+        if set(plastic["flow stress"]["hardening"]) != {"voce"}:
+            return False
+        if "initial yield" not in plastic["flow stress"]:
+            return False
+        R = np.asarray(vals["rotation matrix"])
+        return bool(np.allclose(R, np.eye(3)))
+    except (KeyError, TypeError):
+        return False
+
+
 def make_batched_return_map(model, max_iters: int = 10,
                             abs_tol: float | None = None,
-                            rel_tol: float | None = None):
+                            rel_tol: float | None = None,
+                            specialize: bool = False):
     """Build ``step(xi_prev, grad_u, grad_u_prev, params) -> (xi, sigma)``
     batched over the leading point axis.
 
     ``xi_prev``: (N, nxi); ``grad_u``/``grad_u_prev``: (N, 3, 3) current
     and previous displacement gradients; ``params``: replicated pytree.
     Returns the converged state and Cauchy stress per point.
+
+    With ``specialize=True``, models recognized by
+    :func:`j2_voce_specializable` dispatch to the analytic radial
+    return — the Pallas kernel on TPU, the XLA-fused form elsewhere.
     """
+    if specialize and j2_voce_specializable(model):
+        if jax.default_backend() == "tpu":
+            from cmad_tpu.ops.pallas_radial_return import (
+                make_pallas_j2_radial_return,
+            )
+            return make_pallas_j2_radial_return(model.parameters)
+        from cmad_tpu.ops.j2_radial_return import make_j2_radial_return
+        return make_j2_radial_return(model.parameters)
+
     solve = make_newton_solve(model.residual_fun, max_iters=max_iters,
                               abs_tol=abs_tol, rel_tol=rel_tol)
 

@@ -41,3 +41,32 @@ def test_radial_return_matches_generic_newton():
     xi2_g, _ = generic(xi_g, grad_u2, grad_u, params.values)
     xi2_f, _ = fast(xi_f, grad_u2, grad_u, params.values)
     assert np.allclose(np.asarray(xi2_f), np.asarray(xi2_g), atol=1e-9)
+
+
+def test_specialize_dispatch():
+    """make_batched_return_map(specialize=True) routes J2+Voce FULL_3D
+    to the radial return and leaves other models on the generic path."""
+    from cmad_tpu.models.deformation_types import DefType
+    from cmad_tpu.ops.return_map import j2_voce_specializable
+
+    problem = J2AnalyticalProblem()
+    params = problem.J2_parameters
+    model = SmallRateElasticPlastic(params)
+    assert j2_voce_specializable(model)
+    assert not j2_voce_specializable(
+        SmallRateElasticPlastic(params, def_type=DefType.PLANE_STRESS))
+
+    rng = np.random.RandomState(1)
+    B = 64
+    eps = rng.normal(0.0, 1.5e-3, size=(B, 3, 3))
+    eps = 0.5 * (eps + np.transpose(eps, (0, 2, 1)))
+    grad_u = jnp.asarray(eps)
+    grad_u_prev = jnp.zeros((B, 3, 3))
+    xi_prev = jnp.zeros((B, model.num_dofs))
+
+    fast = make_batched_return_map(model, specialize=True)
+    slow = make_batched_return_map(model)
+    xi_f, sig_f = fast(xi_prev, grad_u, grad_u_prev, params.values)
+    xi_s, sig_s = slow(xi_prev, grad_u, grad_u_prev, params.values)
+    assert np.allclose(np.asarray(xi_f), np.asarray(xi_s), atol=1e-9)
+    assert np.allclose(np.asarray(sig_f), np.asarray(sig_s), atol=1e-9)
