@@ -137,9 +137,8 @@ class GlobalResidual(ABC):
                       local_newton_settings: dict[str, Any],
                       print_local_convergence: bool):
         residual_fn = self._residual_fn
-        local_newton = make_newton_solve(
-            model.residual_fun, **local_newton_settings,
-            print_local_convergence=print_local_convergence)
+        local_newton = self._build_local_solve(
+            model, local_newton_settings, print_local_convergence)
 
         def r_total(params, U, U_prev, xi_prev, shapes_ip, w, dv, h,
                     ip_set):
@@ -168,3 +167,30 @@ class GlobalResidual(ABC):
 
         return {"R": jit(r_total),
                 "R_and_dR_dU_and_xi": jit(r_tangent_xi)}
+
+    @staticmethod
+    def _build_local_solve(model: Model,
+                           local_newton_settings: dict[str, Any],
+                           print_local_convergence: bool):
+        """Per-IP local solve: the analytic J2 radial return when the
+        model structurally admits it (ops/return_map.py, ~80x the
+        generic Newton and fully differentiable via its fixed
+        iteration), the generic IFT Newton otherwise."""
+        from cmad_tpu.ops.return_map import (
+            j2_voce_specializable,
+            make_j2_radial_return_for,
+        )
+
+        if j2_voce_specializable(model) and not print_local_convergence:
+            radial = make_j2_radial_return_for(model, prefer_pallas=False)
+
+            def local_solve(xi_guess, xi_prev, params, U_ip, U_ip_prev):
+                del xi_guess  # radial return needs no iterate seed
+                xi, _sigma = radial(xi_prev, U_ip.grad_fields["u"],
+                                    U_ip_prev.grad_fields["u"], params)
+                return xi
+
+            return local_solve
+        return make_newton_solve(
+            model.residual_fun, **local_newton_settings,
+            print_local_convergence=print_local_convergence)

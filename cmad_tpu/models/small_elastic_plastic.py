@@ -101,6 +101,11 @@ class SmallElasticPlastic(Model):
             yield_tol: float = 1e-14,
             uniaxial_stress_idx: int = 0,
     ) -> None:
+        # analytic return-map specialization keys on the params
+        # structure, which only describes the DEFAULT constitutive funs
+        self._uses_default_funs = (
+            elastic_stress_fun is isotropic_linear_elastic_stress
+            and effective_stress_fun is None and hardening_funs is None)
         if hardening_funs is None:
             hardening_funs = get_hardening_funs()
         if effective_stress_fun is None:

