@@ -19,6 +19,7 @@ from functools import partial
 from typing import Any
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -257,3 +258,107 @@ def _fe_newton_solve_ad_jvp(fe_problem, nls_frozen, lss_frozen, primals,
         (U_star_dot, *p_dot))
 
     return (U_star, xi_star), (U_star_dot, xi_star_dot)
+
+
+def fe_newton_solve_host(fe_problem: FEProblem,
+                         params_by_block: Mapping[str, Params],
+                         U_prev, xi_prev_by_block=None, t: float = 0.0,
+                         nonlinear_solver_settings: dict | None = None,
+                         linear_solver_settings: dict | None = None,
+                         _jit_cache: dict | None = None):
+    """Host-driven FE Newton: one device dispatch per assemble and per
+    linear solve, with a host synchronization between iterations.
+
+    Primal-only counterpart of :func:`fe_newton_solve` for environments
+    where a single long device program is fragile (remote-attached
+    accelerators can kill sustained multi-minute programs) and for
+    reference-parity imperative solver logging: returns
+    ``(U*, xi*, iters, final_norm)``.
+
+    Pass a persistent ``_jit_cache`` dict across calls (e.g. per time
+    loop) so the assemble/solve closures compile once.
+    """
+    nls = {**default_nonlinear_settings(),
+           **(nonlinear_solver_settings or {})}
+    lss = {**DEFAULT_LINEAR_SOLVER_SETTINGS,
+           **(linear_solver_settings or {})}
+    dtype = config.real_dtype()
+    U = jnp.asarray(U_prev, dtype=dtype)
+    U_prev = U
+    xi_prev = ({k: jnp.asarray(v) for k, v in xi_prev_by_block.items()}
+               if xi_prev_by_block else {})
+
+    presc_idx = fe_problem.kernel_arrays.prescribed_indices
+    presc_vals = jnp.asarray(fe_problem.dof_map.evaluate_prescribed_values(
+        fe_problem.kernel_arrays.dbc_arrays, t))
+
+    cache = _jit_cache if _jit_cache is not None else {}
+    if "assemble" not in cache:
+        def assemble(fe_arrays, params, U, U_prev, xi_prev, t, pv):
+            K_bcoo, R, xi = assemble_global(
+                fe_problem, fe_arrays, params, U, U_prev, t,
+                xi_prev_by_block=xi_prev)
+            K_data, K_ii = _embedded_bc_enforce(K_bcoo, presc_idx)
+            r = _embedded_residual(R, K_bcoo, U, presc_idx, pv, K_ii)
+            return r, K_data, xi
+
+        lss_frozen = freeze_settings(lss)
+
+        def solve(K_data, fe_arrays, rhs):
+            return solve_linear(K_data, fe_problem, fe_arrays, rhs,
+                                thaw_settings(lss_frozen))
+
+        cache["assemble"] = jax.jit(assemble)
+        cache["solve"] = jax.jit(solve)
+
+    fe_arrays = fe_problem.kernel_arrays
+    r, K_data, xi = cache["assemble"](fe_arrays, params_by_block, U,
+                                      U_prev, xi_prev, t, presc_vals)
+    norm0 = max(float(jnp.linalg.norm(r)), float(nls["abs tol"]))
+    norm = norm0
+    it = 0
+    while (it < nls["max iters"] and norm >= nls["abs tol"]
+           and norm >= nls["rel tol"] * norm0):
+        dU = cache["solve"](K_data, fe_arrays, -r)
+        U = U + dU
+        r, K_data, xi = cache["assemble"](fe_arrays, params_by_block, U,
+                                          U_prev, xi_prev, t, presc_vals)
+        norm = float(jnp.linalg.norm(r))  # host sync per iteration
+        it += 1
+        if nls["print convergence"]:
+            print(f" > ({it}) Newton: abs ||R|| = {norm:.6e} "
+                  f"rel ||R|| = {norm / norm0:.6e}")
+    return U, xi, it, norm
+
+
+def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
+                              nonlinear_solver_settings: dict | None = None,
+                              linear_solver_settings: dict | None = None,
+                              U_init=None):
+    """Host-driven quasi-static time loop (one Newton per step, each
+    iteration a separate device dispatch). Returns
+    ``(FEState, solver_log)`` where solver_log is the per-step
+    ``{"iters", "final_residual"}`` list."""
+    from cmad_tpu.fem.assembly import params_by_block_from_models
+    from cmad_tpu.fem.fe_problem import FEState
+
+    params = params_by_block_from_models(fe_problem)
+    state = FEState.from_problem(fe_problem, t_init=float(t_schedule[0]),
+                                 U_init=None if U_init is None
+                                 else np.asarray(U_init))
+    U = jnp.asarray(state.U_at(0), dtype=config.real_dtype())
+    xi = {b: jnp.asarray(state.xi_at(0, b))
+          for b in fe_problem.models_by_block}
+    cache: dict = {}
+    log = []
+    for t in [float(x) for x in t_schedule[1:]]:
+        U, xi_solved, iters, res = fe_newton_solve_host(
+            fe_problem, params, U, xi, t=t,
+            nonlinear_solver_settings=nonlinear_solver_settings,
+            linear_solver_settings=linear_solver_settings,
+            _jit_cache=cache)
+        xi = {**xi, **xi_solved}
+        state.append(np.asarray(U), {b: np.asarray(v)
+                                     for b, v in xi.items()}, t_new=t)
+        log.append({"iters": int(iters), "final_residual": float(res)})
+    return state, log

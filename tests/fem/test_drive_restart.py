@@ -75,3 +75,23 @@ def test_restart_from_recorded_state():
         # test_drive_equals_direct_solves
         assert np.allclose(np.asarray(xi["all"]),
                            full.xi_at(k, "all"), atol=1e-8)
+
+
+def test_host_drive_matches_scan_drive():
+    """The host-driven per-iteration time loop reproduces the jitted
+    scan driver (its role: environments where one long device program
+    is fragile, plus imperative per-step solver logging)."""
+    from cmad_tpu.fem.nonlinear_solver import fe_quasistatic_drive_host
+
+    fe = _problem()
+    t_schedule = [0.0, 0.5, 1.0]
+    scan_state, _ = fe_quasistatic_drive(fe, t_schedule)
+    host_state, log = fe_quasistatic_drive_host(fe, t_schedule)
+
+    assert len(log) == 2
+    assert all(e["iters"] > 0 for e in log)
+    for k in (1, 2):
+        assert np.allclose(host_state.U_at(k), scan_state.U_at(k),
+                           atol=1e-9)
+        assert np.allclose(host_state.xi_at(k, "all"),
+                           scan_state.xi_at(k, "all"), atol=1e-8)
