@@ -317,17 +317,33 @@ def fe_newton_solve_host(fe_problem: FEProblem,
     norm0 = max(float(jnp.linalg.norm(r)), float(nls["abs tol"]))
     norm = norm0
     it = 0
+    stagnant = 0
     while (it < nls["max iters"] and norm >= nls["abs tol"]
            and norm >= nls["rel tol"] * norm0):
         dU = cache["solve"](K_data, fe_arrays, -r)
-        U = U + dU
-        r, K_data, xi = cache["assemble"](fe_arrays, params_by_block, U,
-                                          U_prev, xi_prev, t, presc_vals)
-        norm = float(jnp.linalg.norm(r))  # host sync per iteration
+        U_trial = U + dU
+        r_trial, K_trial, xi_trial = cache["assemble"](
+            fe_arrays, params_by_block, U_trial, U_prev, xi_prev, t,
+            presc_vals)
+        norm_trial = float(jnp.linalg.norm(r_trial))  # host sync
         it += 1
         if nls["print convergence"]:
-            print(f" > ({it}) Newton: abs ||R|| = {norm:.6e} "
-                  f"rel ||R|| = {norm / norm0:.6e}")
+            print(f" > ({it}) Newton: abs ||R|| = {norm_trial:.6e} "
+                  f"rel ||R|| = {norm_trial / norm0:.6e}")
+        # floating-point floor detection: the host loop sees true norms,
+        # so it can stop once iterations stop paying (the traced solver
+        # cannot without a device round-trip)
+        if norm_trial >= 0.99 * norm:
+            stagnant += 1
+            if norm_trial < norm:
+                U, r, K_data, xi, norm = (U_trial, r_trial, K_trial,
+                                          xi_trial, norm_trial)
+            if stagnant >= 2:
+                break
+        else:
+            stagnant = 0
+            U, r, K_data, xi, norm = (U_trial, r_trial, K_trial,
+                                      xi_trial, norm_trial)
     return U, xi, it, norm
 
 
