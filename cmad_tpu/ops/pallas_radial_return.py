@@ -111,6 +111,144 @@ def _call(packed: JaxArray, scalars: JaxArray,
     )(scalars, packed)
 
 
+def _kernel_total(scalars_ref, packed_ref, out_ref):
+    """Total-form variant: rows 0:6 plastic strain, 6 alpha, 7:13 total
+    strain in; rows 0:6 plastic strain, 6 alpha, 7:13 stress out."""
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    pe = packed_ref[0:6, :]
+    alpha_prev = packed_ref[6:7, :]
+    eps = packed_ref[7:13, :]
+
+    # trial stress from the elastic strain eps - pe
+    e0 = eps[0:1, :] - pe[0:1, :]
+    e1 = eps[1:2, :] - pe[1:2, :]
+    e2 = eps[2:3, :] - pe[2:3, :]
+    e3 = eps[3:4, :] - pe[3:4, :]
+    e4 = eps[4:5, :] - pe[4:5, :]
+    e5 = eps[5:6, :] - pe[5:6, :]
+    tr = e0 + e3 + e5
+    two_mu = 2.0 * mu
+    diag = lam * tr
+    s_tr0 = diag + two_mu * e0
+    s_tr3 = diag + two_mu * e3
+    s_tr5 = diag + two_mu * e5
+    s_tr1 = two_mu * e1
+    s_tr2 = two_mu * e2
+    s_tr4 = two_mu * e4
+
+    p_tr = (s_tr0 + s_tr3 + s_tr5) / 3.0
+    d0 = s_tr0 - p_tr
+    d3 = s_tr3 - p_tr
+    d5 = s_tr5 - p_tr
+    phi_sq = d0 * d0 + d3 * d3 + d5 * d5 + \
+        2.0 * (s_tr1 * s_tr1 + s_tr2 * s_tr2 + s_tr4 * s_tr4)
+    phi_tr = jnp.sqrt(1.5 * phi_sq)
+
+    f_trial = phi_tr - Y - S * (1.0 - jnp.exp(-D * alpha_prev))
+    plastic = f_trial > 0.0
+
+    def newton(_, dg):
+        e = jnp.exp(-D * (alpha_prev + dg))
+        g = phi_tr - 3.0 * mu * dg - Y - S * (1.0 - e)
+        dgd = -3.0 * mu - S * D * e
+        dg_new = dg - g / dgd
+        return jnp.where(plastic, jnp.maximum(dg_new, 0.0), 0.0)
+
+    dg = jax.lax.fori_loop(0, _NEWTON_ITERS, newton,
+                           jnp.zeros_like(alpha_prev))
+
+    safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
+    coef = jnp.where(plastic, 1.5 * dg / safe_phi, 0.0)
+
+    out_ref[0:1, :] = pe[0:1, :] + coef * d0
+    out_ref[1:2, :] = pe[1:2, :] + coef * s_tr1
+    out_ref[2:3, :] = pe[2:3, :] + coef * s_tr2
+    out_ref[3:4, :] = pe[3:4, :] + coef * d3
+    out_ref[4:5, :] = pe[4:5, :] + coef * s_tr4
+    out_ref[5:6, :] = pe[5:6, :] + coef * d5
+    out_ref[6:7, :] = alpha_prev + dg
+    out_ref[7:8, :] = s_tr0 - two_mu * coef * d0
+    out_ref[8:9, :] = s_tr1 - two_mu * coef * s_tr1
+    out_ref[9:10, :] = s_tr2 - two_mu * coef * s_tr2
+    out_ref[10:11, :] = s_tr3 - two_mu * coef * d3
+    out_ref[11:12, :] = s_tr4 - two_mu * coef * s_tr4
+    out_ref[12:13, :] = s_tr5 - two_mu * coef * d5
+    out_ref[13:16, :] = jnp.zeros_like(packed_ref[13:16, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_total(packed: JaxArray, scalars: JaxArray,
+                interpret: bool = False) -> JaxArray:
+    B = packed.shape[1]
+    grid = (B // _TILE,)
+    return pl.pallas_call(
+        _kernel_total,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec((16, _TILE), lambda i, s: (0, i))],
+            out_specs=pl.BlockSpec((16, _TILE), lambda i, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((16, B), packed.dtype),
+        interpret=interpret,
+    )(scalars, packed)
+
+
+def make_pallas_j2_radial_return_total(parameters,
+                                       interpret: bool | None = None):
+    """Pallas TPU kernel for the TOTAL-form J2+Voce radial return
+    (xi = [plastic_strain6, alpha]); contract matches
+    :func:`cmad_tpu.ops.j2_radial_return.make_j2_radial_return_total`."""
+    del parameters
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def step(xi_prev: JaxArray, grad_u: JaxArray, grad_u_prev: JaxArray,
+             params) -> tuple[JaxArray, JaxArray]:
+        del grad_u_prev  # total form: parametrized by current strain
+        ec = ElasticConstants.from_params(params["elastic"])
+        plastic = params["plastic"]
+        dtype = grad_u.dtype
+        scalars = jnp.stack([
+            ec.mu, ec.lmbda,
+            plastic["flow stress"]["initial yield"]["Y"],
+            plastic["flow stress"]["hardening"]["voce"]["S"],
+            plastic["flow stress"]["hardening"]["voce"]["D"],
+        ]).astype(dtype)
+
+        B = xi_prev.shape[0]
+        e = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
+        eps6 = jnp.stack([e[..., 0, 0], e[..., 0, 1], e[..., 0, 2],
+                          e[..., 1, 1], e[..., 1, 2], e[..., 2, 2]],
+                         axis=-1)
+        packed = jnp.concatenate([
+            xi_prev[:, :7], eps6,
+            jnp.zeros((B, 3), dtype=dtype)], axis=1).T  # (16, B)
+
+        pad = (-B) % _TILE
+        if pad:
+            packed = jnp.pad(packed, ((0, 0), (0, pad)))
+
+        out = _call_total(packed, scalars, interpret=interpret)[:, :B]
+
+        xi = out[:7, :].T
+        sv = out[7:13, :].T
+        sigma = jnp.stack([
+            jnp.stack([sv[:, 0], sv[:, 1], sv[:, 2]], axis=-1),
+            jnp.stack([sv[:, 1], sv[:, 3], sv[:, 4]], axis=-1),
+            jnp.stack([sv[:, 2], sv[:, 4], sv[:, 5]], axis=-1),
+        ], axis=-2)
+        return xi, sigma
+
+    return jax.jit(step)
+
+
 def make_pallas_j2_radial_return(parameters, interpret: bool | None = None):
     """Build ``step(xi_prev, grad_u, grad_u_prev, params) -> (xi, sigma)``
     with the same contract as :func:`make_j2_radial_return`, backed by a

@@ -83,6 +83,11 @@ def make_j2_radial_return_for(model, prefer_pallas: bool = True):
         from cmad_tpu.ops.j2_radial_return import make_j2_radial_return
         return make_j2_radial_return(model.parameters)
     if kind == "total":
+        # measured on one TPU chip at 4M points: XLA-fused total form
+        # 325M updates/s vs 271M for the Pallas variant (the total form
+        # reads only the current strain, and XLA fuses it perfectly —
+        # the Pallas packing transposes cost more than they save), so
+        # the XLA form is preferred on every backend
         from cmad_tpu.ops.j2_radial_return import (
             make_j2_radial_return_total,
         )
