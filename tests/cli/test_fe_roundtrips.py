@@ -261,3 +261,30 @@ def test_fe_weighted_sum_and_displacement_l2(tmp_path, cube_exo):
             {"name": "fe_displacement_match", "term_weight": 3.0,
              "data_file": str(tmp_path / "u_data.npy")}]}, "sum")
     assert np.isclose(J_sum, 2.0 * J_l2 + 3.0 * J_match, rtol=1e-10)
+
+
+def test_fe_hessian_roundtrip(tmp_path, cube_exo):
+    """cmad hessian (FE arm): symmetric finite Hessian via
+    jax.hessian of the trajectory objective (parity: reference
+    tests/cli/test_hessian_fe_roundtrip.py)."""
+    out_truth = tmp_path / "truth"
+    deck = _plastic_deck(cube_exo, out_truth)
+    assert cmad_main(["primal", str(_write(tmp_path, deck))]) == 0
+    res = read_results(out_truth / "cube_fe.exo",
+                       nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+    np.save(tmp_path / "u_data.npy", res.nodal["u"])
+
+    deck = _plastic_deck(cube_exo, tmp_path / "out_h", E=220e3)
+    mat = deck["residuals"]["local residual"]["materials"]["all"]
+    mat["elastic"]["E"]["active"] = True
+    mat["elastic"]["nu"]["active"] = True
+    deck["qoi"] = {"name": "fe_displacement_match",
+                   "data_file": str(tmp_path / "u_data.npy")}
+    deck_path = _write(tmp_path, deck, "deck_h.yaml")
+    assert cmad_main(["hessian", str(deck_path)]) == 0
+    H = np.load(tmp_path / "out_h" / "hess.npy")
+    assert H.shape == (2, 2)
+    assert np.all(np.isfinite(H))
+    assert abs(H - H.T).max() < 1e-8 * abs(H).max()
+    # the displacement-match objective is locally convex at the offset
+    assert np.linalg.eigvalsh(H)[-1] > 0.0
