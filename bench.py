@@ -145,6 +145,7 @@ def measure_notch_wall():
     if jax.default_backend() == "tpu":
         deck["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
                                  "max iters": 2000,
+                                 "adaptive rtol": True,
                                  "preconditioner": {"type": "jacobi"}}
     (workdir / "deck.yaml").write_text(yaml.safe_dump(deck))
 
@@ -161,10 +162,7 @@ def measure_notch_wall():
         kwargs = {}
         if "linear solver" in deck:
             ls = deck["linear solver"]
-            kwargs["linear_solver_settings"] = {
-                "type": ls["type"], "rtol": ls["rtol"],
-                "max iters": ls["max iters"],
-                "preconditioner": ls["preconditioner"]}
+            kwargs["linear_solver_settings"] = dict(ls)
         trajectory = build_fe_quasistatic_trajectory(fe, **kwargs)
         params = params_by_block_from_models(fe)
         st0 = FEState.from_problem(fe)

@@ -51,6 +51,7 @@ def main() -> None:
     if backend == "tpu":
         base["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
                                  "max iters": 2000,
+                                 "adaptive rtol": True,
                                  "preconditioner": {"type": "jacobi"}}
 
     cwd = os.getcwd()

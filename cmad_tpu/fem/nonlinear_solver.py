@@ -76,20 +76,24 @@ def thaw_settings(value: Any) -> Any:
 
 def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
                  fe_arrays: FEKernelArrays, rhs: JaxArray,
-                 settings: dict[str, Any]) -> JaxArray:
+                 settings: dict[str, Any],
+                 rtol_override: JaxArray | None = None) -> JaxArray:
     """Dispatch on settings['type'] (direct | cg | gmres) and the
-    preconditioner spec (jacobi | block)."""
+    preconditioner spec (jacobi | block). ``rtol_override`` (traced)
+    replaces the static rtol for the iterative arms — the hook for
+    inexact-Newton forcing terms."""
     sparsity = fe_arrays.embedded_sparsity
     kind = settings["type"]
     if kind == "direct":
         return scipy_lu(K_data, sparsity, rhs)
 
+    rtol = settings["rtol"] if rtol_override is None else rtol_override
     precon_spec = settings.get("preconditioner", {"type": "jacobi"})
     precon = precon_spec["type"]
 
     if kind == "cg":
         if precon == "jacobi":
-            return jax_cg(K_data, sparsity, rhs, rtol=settings["rtol"],
+            return jax_cg(K_data, sparsity, rhs, rtol=rtol,
                           max_iters=settings["max iters"])
         raise ValueError(
             f"unknown cg preconditioner {precon!r}; this build supports "
@@ -97,7 +101,7 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
             "multilevel-grade preconditioning)")
     if kind == "gmres":
         if precon == "jacobi":
-            return jax_gmres(K_data, sparsity, rhs, rtol=settings["rtol"],
+            return jax_gmres(K_data, sparsity, rhs, rtol=rtol,
                              max_iters=settings["max iters"],
                              restart=settings["restart"])
         if precon == "block":
@@ -111,7 +115,7 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
                                                "assembled"),
                 inner=precon_spec.get("inner", "jacobi"),
                 degree=precon_spec.get("degree"),
-                rtol=settings["rtol"], max_iters=settings["max iters"],
+                rtol=rtol, max_iters=settings["max iters"],
                 restart=settings["restart"])
         raise ValueError(
             f"unknown gmres preconditioner {precon!r}; expected 'jacobi' "
@@ -154,13 +158,26 @@ def _fe_newton_primal(fe_problem, fe_arrays, params_by_block, U_prev,
     print_line(1, r0)
 
     def cond(state):
-        i, r, _K, _U, _xi = state
+        i, r, _K, _U, _xi, _np = state
         norm = jnp.linalg.norm(r)
         return (i < max_iters) & (norm >= abs_tol) & (norm >= rel_tol * R0)
 
+    adaptive = bool(lss.get("adaptive rtol", False)) \
+        and lss["type"] in ("cg", "gmres")
+
     def body(state):
-        i, r, K_data, U, xi = state
-        dU = solve_linear(K_data, fe_problem, fe_arrays, -r, lss)
+        i, r, K_data, U, xi, norm_prev = state
+        norm = jnp.linalg.norm(r)
+        rtol_k = None
+        if adaptive:
+            # Eisenstat-Walker choice 2 forcing term: the inner solve's
+            # tolerance follows the observed Newton contraction
+            # (gamma (||r_k|| / ||r_{k-1}||)^2), so early iterations
+            # solve loosely and the endgame tightens to the floor
+            rtol_k = jnp.clip(0.9 * (norm / norm_prev) ** 2,
+                              lss["rtol"], 1e-2)
+        dU = solve_linear(K_data, fe_problem, fe_arrays, -r, lss,
+                          rtol_override=rtol_k)
         if ls_max_evals > 0:
             r_sq = r @ r
 
@@ -177,10 +194,11 @@ def _fe_newton_primal(fe_problem, fe_arrays, params_by_block, U_prev,
             U_new = U + dU
             r_new, K_new, xi_new = assemble_enforced(U_new)
         print_line(i + 2, r_new)
-        return (i + 1, r_new, K_new, U_new, xi_new)
+        return (i + 1, r_new, K_new, U_new, xi_new, norm)
 
-    _, _, _, U_star, xi_star = lax.while_loop(
-        cond, body, (0, r0, K0, U_prev, xi0))
+    _, _, _, U_star, xi_star, _ = lax.while_loop(
+        cond, body, (0, r0, K0, U_prev, xi0,
+                     10.0 * jnp.linalg.norm(r0)))
     return U_star, xi_star
 
 

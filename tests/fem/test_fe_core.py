@@ -195,3 +195,23 @@ def test_neumann_traction_elastic():
     exact = np.stack([eps * x[:, 0], -0.3 * eps * x[:, 1],
                       -0.3 * eps * x[:, 2]], axis=1)
     assert np.abs(U - exact).max() < 1e-12
+
+
+def test_adaptive_rtol_matches_fixed():
+    """Eisenstat-Walker forcing ('adaptive rtol') converges to the same
+    solution as fixed-tolerance inner solves."""
+    mesh, dof_map = _mesh_and_dofmap(ramp=0.003)
+    gr = SmallDispEquilibrium(ndims=3)
+    model = SmallRateElasticPlastic(_plastic_params())
+    fe = build_fe_problem(mesh, dof_map, gr, {"all": model},
+                          modes_by_block={"all": GlobalResidualMode.COUPLED})
+    states = {}
+    for adaptive in (False, True):
+        lss = {"type": "cg", "rtol": 1e-12, "max iters": 5000,
+               "adaptive rtol": adaptive,
+               "preconditioner": {"type": "jacobi"}}
+        states[adaptive], _ = fe_quasistatic_drive(
+            fe, [0.0, 0.5, 1.0], linear_solver_settings=lss)
+    for k in (1, 2):
+        assert np.allclose(states[True].U_at(k), states[False].U_at(k),
+                           atol=1e-9)
