@@ -322,9 +322,10 @@ def fe_newton_solve_host(fe_problem: FEProblem,
 
         lss_frozen = freeze_settings(lss)
 
-        def solve(K_data, fe_arrays, rhs):
+        def solve(K_data, fe_arrays, rhs, rtol_k):
             return solve_linear(K_data, fe_problem, fe_arrays, rhs,
-                                thaw_settings(lss_frozen))
+                                thaw_settings(lss_frozen),
+                                rtol_override=rtol_k)
 
         cache["assemble"] = jax.jit(assemble)
         cache["solve"] = jax.jit(solve)
@@ -336,9 +337,20 @@ def fe_newton_solve_host(fe_problem: FEProblem,
     norm = norm0
     it = 0
     stagnant = 0
+    adaptive = bool(lss.get("adaptive rtol", False)) \
+        and lss["type"] in ("cg", "gmres")
+    norm_hist = norm0
     while (it < nls["max iters"] and norm >= nls["abs tol"]
            and norm >= nls["rel tol"] * norm0):
-        dU = cache["solve"](K_data, fe_arrays, -r)
+        if adaptive:
+            # Eisenstat-Walker choice 2 on the host-observed norms
+            eta = 0.9 * (norm / norm_hist) ** 2 if it else 1e-2
+            rtol_k = jnp.asarray(min(max(eta, lss["rtol"]), 1e-2),
+                                 dtype=config.real_dtype())
+        else:
+            rtol_k = jnp.asarray(lss["rtol"], dtype=config.real_dtype())
+        norm_hist = norm
+        dU = cache["solve"](K_data, fe_arrays, -r, rtol_k)
         U_trial = U + dU
         r_trial, K_trial, xi_trial = cache["assemble"](
             fe_arrays, params_by_block, U_trial, U_prev, xi_prev, t,
