@@ -121,12 +121,13 @@ class SmallDispEquilibrium(GlobalResidual):
         return modes
 
     def evaluate_nodal_field(self, name, fe_problem, fe_state, step):
-        U = np.asarray(fe_state.U_at(step))
         if name == "u":
+            U = np.asarray(fe_state.U_at(step))
             u_end = (fe_problem.dof_map.block_offsets[1]
                      if self._mixed else U.shape[0])
             return U[:u_end].reshape(-1, int(self._num_eqs[0]))
         if name == "p" and self._mixed:
+            U = np.asarray(fe_state.U_at(step))
             return U[fe_problem.dof_map.block_offsets[1]:].reshape(-1, 1)
         return super().evaluate_nodal_field(name, fe_problem, fe_state,
                                             step)
