@@ -1,0 +1,102 @@
+"""Device-mesh-sharded sparse linear solve (distributed CG).
+
+SURVEY.md section 2.2 last row: the reference's only "distributed" solve
+is a host callback to scipy SuperLU (``cmad/fem/sparse_solve.py:89``);
+the TPU-native equivalent shards the Krylov matvec over the device mesh.
+
+Design (the scaling-book recipe, explicit-collective form):
+
+- the deduped COO triplet ``(values, rows, cols)`` of the embedded-BC
+  stiffness is sharded on its nnz axis across a 1-D mesh (zero-padded to
+  the device count — padding scatters ``0.0`` into row 0, a no-op);
+- the solution/RHS vectors are replicated;
+- one ``shard_map`` matvec computes shard-local partial row sums with
+  the same ``.at[rows].add`` scatter the single-device path uses, then
+  ``lax.psum`` over the mesh combines them — the only collective in the
+  CG iteration;
+- CG scalars (dot products) run on replicated vectors, so every device
+  executes the identical iteration and no further communication is
+  needed.
+
+AD flows through ``lax.custom_linear_solve`` (symmetric), exactly like
+the single-device ``jax_cg``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from cmad_tpu.fem.sparse_solve import EmbeddedSparsity
+from cmad_tpu.typing import JaxArray
+
+
+def build_row_sharded_pattern(sparsity: EmbeddedSparsity, mesh: Mesh,
+                              axis_name: str = "elem"):
+    """Static COO pattern placed on the mesh: (rows, cols) sharded on
+    the nnz axis, zero-padded to a multiple of the device count."""
+    indptr = np.asarray(sparsity.indptr)
+    rows_np = np.repeat(np.arange(sparsity.n, dtype=np.int32),
+                        np.diff(indptr))
+    cols_np = np.asarray(sparsity.col_indices, dtype=np.int32)
+    nnz = rows_np.shape[0]
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    pad = (-nnz) % n_dev
+    rows_p = np.concatenate([rows_np, np.zeros(pad, np.int32)])
+    cols_p = np.concatenate([cols_np, np.zeros(pad, np.int32)])
+    shard = NamedSharding(mesh, P(axis_name))
+    return (jax.device_put(rows_p, shard), jax.device_put(cols_p, shard),
+            pad)
+
+
+def _sharded_matvec(mesh: Mesh, axis_name: str, n: int):
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+             out_specs=P())
+    def mv(vals, rows, cols, x):
+        y_local = jnp.zeros(n, dtype=vals.dtype).at[rows].add(
+            vals * x[cols])
+        return lax.psum(y_local, axis_name)
+
+    return mv
+
+
+def sharded_jax_cg(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                   b: JaxArray, mesh: Mesh, axis_name: str = "elem",
+                   rtol: float = 1e-10,
+                   max_iters: int | None = None,
+                   pattern=None) -> JaxArray:
+    """Jacobi-preconditioned CG whose matvec is sharded over ``mesh``.
+
+    Same contract as :func:`cmad_tpu.fem.sparse_solve.jax_cg` (SPD
+    embedded-BC operator, AD via symmetric ``custom_linear_solve``);
+    pass ``pattern = build_row_sharded_pattern(...)`` to reuse the static
+    placement across Newton iterations.
+    """
+    if pattern is None:
+        pattern = build_row_sharded_pattern(sparsity, mesh, axis_name)
+    rows_sh, cols_sh, pad = pattern
+
+    unique = jnp.zeros(sparsity.num_unique, dtype=K_data.dtype
+                       ).at[sparsity.segment_ids].add(K_data[sparsity.perm])
+    diag = unique[sparsity.diag_idx]
+    vals = jnp.concatenate(
+        [unique, jnp.zeros(pad, dtype=unique.dtype)]) if pad else unique
+    vals = lax.with_sharding_constraint(
+        vals, NamedSharding(mesh, P(axis_name)))
+
+    mv = _sharded_matvec(mesh, axis_name, sparsity.n)
+    matvec = lambda x: mv(vals, rows_sh, cols_sh, x)  # noqa: E731
+    precon = lambda x: x / diag  # noqa: E731
+
+    def solve(_mv, rhs):
+        x, _ = jax.scipy.sparse.linalg.cg(
+            matvec, rhs, M=precon, tol=rtol, maxiter=max_iters)
+        return x
+
+    return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
