@@ -1,0 +1,78 @@
+"""The reference's own example decks run verbatim through cmad_tpu.
+
+A user of the reference should be able to point `cmad` at their
+existing decks unchanged. Skipped when the reference checkout is not
+mounted.
+"""
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference/examples")
+
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference checkout not mounted")
+
+
+def _stage(tmp_path, deck_name, mesh_name):
+    shutil.copy(REF / deck_name, tmp_path / deck_name)
+    (tmp_path / "meshes").mkdir(exist_ok=True)
+    src = REF / "meshes" / mesh_name
+    if not src.exists():
+        pytest.skip(f"reference mesh {mesh_name} not present")
+    shutil.copy(src, tmp_path / "meshes" / mesh_name)
+
+
+def _make_cube_mesh(tmp_path):
+    from cmad_tpu.fem.mesh import StructuredHexMesh
+    from cmad_tpu.io.exodus import ExodusWriter
+
+    mesh = StructuredHexMesh((1.0, 1.0, 1.0), (2, 2, 2))
+    (tmp_path / "meshes").mkdir(exist_ok=True)
+    ExodusWriter(tmp_path / "meshes" / "cube_hex_8.exo", mesh).close()
+
+
+def test_uniaxial_deck_runs_verbatim(tmp_path, monkeypatch):
+    from cmad_tpu.cli.main import main
+
+    shutil.copy(REF / "elastic_plastic_uniaxial.yaml", tmp_path / "d.yaml")
+    _make_cube_mesh(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    assert main(["primal", "d.yaml"]) == 0
+    out = tmp_path / "results"
+    assert out.exists()
+    exo = list(out.glob("**/*.exo")) + list(out.glob("**/*.e"))
+    assert exo, f"no exodus output in {sorted(out.iterdir())}"
+
+
+def test_mixed_elastic_deck_runs_verbatim(tmp_path, monkeypatch):
+    from cmad_tpu.cli.main import main
+
+    shutil.copy(REF / "mixed_elastic.yaml", tmp_path / "d.yaml")
+    _make_cube_mesh(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    assert main(["primal", "d.yaml"]) == 0
+
+
+@pytest.mark.parametrize("deck", ["notch_hosford.yaml",
+                                  "mixed_plastic.yaml"])
+def test_reference_decks_validate_and_build(tmp_path, monkeypatch, deck):
+    """Deck -> schema -> FE problem build (no solve: the notch decks
+    take minutes; the full-solve compatibility run lives in the repo
+    log)."""
+    from cmad_tpu.cli.fe_common import build_fe_problem_from_deck
+
+    shutil.copy(REF / deck, tmp_path / "d.yaml")
+    if deck == "notch_hosford.yaml":
+        _stage(tmp_path, deck, "notch.exo")
+    else:
+        _make_cube_mesh(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    bundle = build_fe_problem_from_deck("d.yaml", "primal")
+    assert bundle.fe_problem.dof_map.num_total_dofs > 0
+    assert len(bundle.t_schedule) >= 2
+    assert np.isfinite(list(bundle.t_schedule)).all()
