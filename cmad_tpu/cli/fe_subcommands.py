@@ -62,11 +62,13 @@ def run_primal_fe(deck_path: Path) -> int:
     qoi = bundle.qoi
     write_qoi = (qoi if qoi is not None and qoi.produces_primal_output()
                  else None)
-    state, J = fe_quasistatic_drive(
-        bundle.fe_problem, bundle.t_schedule.tolist(),
-        nonlinear_solver_settings=_nls_settings(bundle),
-        linear_solver_settings=bundle.resolved["linear solver"],
-        qoi=None if write_qoi is not None else qoi)
+    from cmad_tpu.util.profiling import maybe_trace
+    with maybe_trace(bundle.resolved):
+        state, J = fe_quasistatic_drive(
+            bundle.fe_problem, bundle.t_schedule.tolist(),
+            nonlinear_solver_settings=_nls_settings(bundle),
+            linear_solver_settings=bundle.resolved["linear solver"],
+            qoi=None if write_qoi is not None else qoi)
 
     if "output" not in bundle.resolved:
         return 0

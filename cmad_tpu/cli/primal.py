@@ -43,10 +43,13 @@ def run_primal(deck_path: Path) -> int:
 
 
 def _run_primal_mp(deck_path: Path) -> int:
+    from cmad_tpu.util.profiling import maybe_trace
+
     problem = build_mp_problem(deck_path, "primal")
     newton_kwargs = problem.resolved["solver"]["newton"]
-    cauchy, xi_traj, solver_log, _J = run_primal_pass(
-        problem.model, problem.F, newton_kwargs)
+    with maybe_trace(problem.resolved):
+        cauchy, xi_traj, solver_log, _J = run_primal_pass(
+            problem.model, problem.F, newton_kwargs)
 
     if "output" in problem.resolved:
         out_dir, prefix, fmt = resolve_output(problem.resolved)
