@@ -134,17 +134,16 @@ def test_writers_emit_expected_artifacts(tmp_path):
     back = yaml.safe_load((tmp_path / "deck.resolved.yaml").read_text())
     assert back["problem"]["type"] == "fe"
 
-    write_opt_history(tmp_path, "", [
-        {"iteration": 0, "J": 1.0, "grad_norm": 0.5,
-         "params": [1.0, 2.0]}])
+    write_opt_history(tmp_path, "",
+                      [{"iteration": 0, "J": 1.0, "grad_norm": 0.5,
+                        "params": [1.0, 2.0]}],
+                      ["plastic/Y", "plastic/S"])
     hist = json.loads((tmp_path / "opt_history.json").read_text())
-    assert hist[0]["J"] == 1.0
+    assert hist["history"][0]["J"] == 1.0
+    assert hist["active_param_paths"] == ["plastic/Y", "plastic/S"]
 
-    class FakeResult:
-        success, status, message = True, 0, "ok"
-        fun, nfev, njev, nit = 0.0, 3, 3, 2
-
-    write_opt_status(tmp_path, "", FakeResult())
+    write_opt_status(tmp_path, "", {"success": True, "status": 0,
+                                    "message": "ok", "nit": 2})
     status = json.loads((tmp_path / "opt_status.json").read_text())
     assert status["success"] is True and status["nit"] == 2
 
