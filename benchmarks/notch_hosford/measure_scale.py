@@ -1,0 +1,197 @@
+"""Scale-point head-to-head: notch_hosford on a finer mesh.
+
+The reference's shipped notch mesh is tiny (1550 tets / 546 nodes), so
+the single-chip TPU run there is latency-bound. This harness runs the
+SAME deck physics on a finer structured notch mesh (examples/
+notch_mesh.py) through BOTH frameworks:
+
+    python benchmarks/notch_hosford/measure_scale.py ours --mesh M.exo
+    python benchmarks/notch_hosford/measure_scale.py reference --mesh M.exo
+
+and writes scale_<who>_<n_elems>.json. The reference runs its own CLI
+unmodified on host CPU (f64, SuperLU direct, netCDF4/pyamg/gmsh
+stubbed as in measure_reference.py); ours runs the default backend
+(TPU: f32 adaptive Jacobi-CG; CPU: f64 direct).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+REPO_ROOT = HERE.parent.parent
+REFERENCE = "/root/reference"
+
+
+def measure_ours(mesh_path: Path, host_loop: bool = False,
+                 precon: str = "jacobi") -> dict:
+    sys.path.insert(0, str(REPO_ROOT))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+
+    backend = jax.default_backend()
+    workdir = Path(tempfile.mkdtemp(prefix="scale_ours_"))
+    (workdir / "meshes").mkdir()
+    shutil.copy(mesh_path, workdir / "meshes/notch.exo")
+    deck = yaml.safe_load(
+        (REPO_ROOT / "examples/notch_hosford.yaml").read_text())
+    deck["discretization"]["mesh file"] = "meshes/notch.exo"
+    deck.pop("output", None)
+    if backend == "tpu":
+        pc = ({"type": "chebyshev", "degree": 3}
+              if precon == "chebyshev" else {"type": "jacobi"})
+        deck["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
+                                 "max iters": 2000,
+                                 "adaptive rtol": True,
+                                 "preconditioner": pc}
+    (workdir / "deck.yaml").write_text(yaml.safe_dump(deck))
+
+    from cmad_tpu.cli.fe_common import build_fe_problem_from_deck
+    from cmad_tpu.fem.assembly import params_by_block_from_models
+    from cmad_tpu.fem.driver import build_fe_quasistatic_trajectory
+    from cmad_tpu.fem.fe_problem import FEState
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        bundle = build_fe_problem_from_deck("deck.yaml", "primal")
+        fe = bundle.fe_problem
+        kwargs = {}
+        if "linear solver" in deck:
+            kwargs["linear_solver_settings"] = dict(deck["linear solver"])
+        ts = [float(t) for t in bundle.t_schedule]
+
+        if host_loop:
+            # one dispatch per Newton iteration with a host sync: the
+            # robust path for large meshes through the device tunnel
+            # (a fused multi-minute Newton-x-Krylov-x-time scan can
+            # crash the remote worker)
+            from cmad_tpu.fem.nonlinear_solver import (
+                fe_quasistatic_drive_host,
+            )
+
+            def run_once():
+                state, _log = fe_quasistatic_drive_host(fe, ts, **kwargs)
+                return np.asarray(state.U_at(len(ts) - 1))
+
+            u_final = run_once()  # compile
+            t0 = time.perf_counter()
+            u_final = run_once()
+            warm = time.perf_counter() - t0
+            cold = warm
+        else:
+            trajectory = build_fe_quasistatic_trajectory(fe, **kwargs)
+            params = params_by_block_from_models(fe)
+            st0 = FEState.from_problem(fe)
+            state_init = (jnp.asarray(st0.U_at(0)),
+                          {b: jnp.asarray(st0.xi_at(0, b))
+                           for b in fe.models_by_block})
+            t_jax = jnp.asarray(ts)
+            run = jax.jit(lambda p, s: trajectory(fe.kernel_arrays, p, s,
+                                                  t_jax))
+            t0 = time.perf_counter()
+            U_steps, _, _ = run(params, state_init)
+            _ = float(jnp.sum(U_steps))
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            U_steps, _, _ = run(params, state_init)
+            _ = float(jnp.sum(U_steps))
+            warm = time.perf_counter() - t0
+            u_final = np.asarray(U_steps[-1])
+    finally:
+        os.chdir(cwd)
+
+    return {
+        "metric": "notch_hosford_scale_wall_s",
+        "who": "cmad_tpu",
+        "value": round(warm, 2),
+        "cold_value": round(cold, 2),
+        "unit": "s",
+        "backend": backend,
+        "driver": "host-loop" if host_loop else "scan",
+        "preconditioner": precon if backend == "tpu" else "direct",
+        "n_elems": int(fe.mesh.connectivity.shape[0]),
+        "n_dofs": int(fe.dof_map.num_total_dofs),
+        "u_norm_final": float(np.linalg.norm(u_final)),
+    }
+
+
+def measure_reference(mesh_path: Path) -> dict:
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    sys.path.insert(0, str(REPO_ROOT))
+    from benchmarks.notch_hosford.measure_reference import _install_stubs
+    _install_stubs()
+    sys.path.insert(0, REFERENCE)
+
+    import jax
+    jax.config.update("jax_platform_name", "cpu")
+    import numpy as np
+
+    workdir = Path(tempfile.mkdtemp(prefix="scale_ref_"))
+    (workdir / "meshes").mkdir()
+    shutil.copy(Path(REFERENCE) / "examples/notch_hosford.yaml",
+                workdir / "notch_hosford.yaml")
+    shutil.copy(mesh_path, workdir / "meshes/notch.exo")
+
+    from cmad.cli.main import main as ref_main
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        t0 = time.perf_counter()
+        rc = ref_main(["primal", "notch_hosford.yaml"])
+        wall = time.perf_counter() - t0
+        u_norm = None
+        res_dir = workdir / "results"
+        exo = sorted(res_dir.rglob("*.exo")) if res_dir.exists() else []
+        if exo:
+            sys.path.insert(0, str(REPO_ROOT))
+            from cmad_tpu.io.exodus import read_results
+            from cmad_tpu.io.results import FieldSpec
+            from cmad_tpu.models.var_types import VarType
+            res = read_results(exo[0],
+                               nodal_field_specs=[
+                                   FieldSpec("u", VarType.VECTOR)])
+            u_norm = float(np.linalg.norm(res.nodal["u"][-1]))
+    finally:
+        os.chdir(cwd)
+    assert rc == 0, f"reference primal failed rc={rc}"
+
+    return {
+        "metric": "notch_hosford_scale_wall_s",
+        "who": "reference",
+        "value": round(wall, 2),
+        "unit": "s",
+        "hardware": "host CPU (float64, SuperLU direct)",
+        "u_norm_final": u_norm,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("who", choices=["ours", "reference"])
+    ap.add_argument("--mesh", required=True, type=Path)
+    ap.add_argument("--host-loop", action="store_true")
+    ap.add_argument("--precon", default="jacobi",
+                    choices=["jacobi", "chebyshev"])
+    args = ap.parse_args()
+    if args.who == "ours":
+        out = measure_ours(args.mesh.resolve(), host_loop=args.host_loop,
+                           precon=args.precon)
+    else:
+        out = measure_reference(args.mesh.resolve())
+    tag = f"{args.who}_{out.get('n_elems', 'ref')}"
+    (HERE / f"scale_{tag}.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,10 +95,15 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
         if precon == "jacobi":
             return jax_cg(K_data, sparsity, rhs, rtol=rtol,
                           max_iters=settings["max iters"])
+        if precon == "chebyshev":
+            from cmad_tpu.fem.sparse_solve import jax_cg_chebyshev
+            return jax_cg_chebyshev(K_data, sparsity, rhs, rtol=rtol,
+                                    max_iters=settings["max iters"],
+                                    degree=precon_spec.get("degree", 3))
         raise ValueError(
             f"unknown cg preconditioner {precon!r}; this build supports "
-            "'jacobi' (no pyamg — use gmres + block/chebyshev for "
-            "multilevel-grade preconditioning)")
+            "'jacobi' and 'chebyshev' (no pyamg — use gmres + block for "
+            "mixed-field preconditioning)")
     if kind == "gmres":
         if precon == "jacobi":
             return jax_gmres(K_data, sparsity, rhs, rtol=rtol,

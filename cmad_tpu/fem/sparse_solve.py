@@ -292,6 +292,43 @@ def jax_cg(K_data: JaxArray, sparsity: EmbeddedSparsity, b: JaxArray,
     return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
 
 
+def jax_cg_chebyshev(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                     b: JaxArray, rtol: float = 1e-10,
+                     max_iters: int | None = None,
+                     degree: int = 3) -> JaxArray:
+    """CG with a fixed-degree Chebyshev polynomial preconditioner on the
+    symmetrically Jacobi-scaled operator (SPD-preserving).
+
+    M^-1 = D^-1/2 p(A_hat) D^-1/2 with A_hat = D^-1/2 A D^-1/2 and p the
+    degree-``degree`` Chebyshev approximation of the inverse on the
+    Lanczos-bracketed spectrum — a purely matvec-based multigrid-grade
+    smoother that cuts Jacobi-CG iteration growth on refined meshes
+    without host callbacks (this build has no pyamg; SURVEY.md section 2
+    native-equivalent item (b)).
+    """
+    unique, matvec = _bcsr_operator(K_data, sparsity)
+    diag = unique[sparsity.diag_idx]
+    dis = 1.0 / jnp.sqrt(diag)
+
+    def scaled_mv(x):
+        return dis * matvec(dis * x)
+
+    lmax = _lanczos_dominant_eig(scaled_mv, sparsity.n, unique.dtype)
+    lmax = lmax * _CHEB_LMAX_SAFETY
+    lmin = lmax * _CHEB_LMIN_FRAC
+
+    def precon(r):
+        return dis * _chebyshev_apply(scaled_mv, dis * r, lmin, lmax,
+                                      degree)
+
+    def solve(_mv, rhs):
+        x, _ = jax.scipy.sparse.linalg.cg(
+            matvec, rhs, M=precon, tol=rtol, maxiter=max_iters)
+        return x
+
+    return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
 def jax_cg_with_iters(K_data, sparsity, b, rtol=1e-10, max_iters=None):
     """CG exposing the iteration count (diagnostics; no AD wrapper)."""
     _, matvec, precon = _jacobi_setup(K_data, sparsity)

@@ -41,7 +41,14 @@ def main() -> None:
     data = cauchy_true * 1.05
     qoi = Calibration(model, data, np.abs(mask))
 
-    x = model.parameters.flat_active_values(return_canonical=True)
+    # Evaluate away from the exact truth parameters: the drive was
+    # constructed FROM the yield condition, so at the truth one step
+    # sits exactly on the elastic/plastic branch boundary, where the
+    # objective's second derivative is genuinely one-sided and the two
+    # strategies return different generalized Hessians (both valid).
+    # A 2% canonical shift -- where any real calibration iterate lives --
+    # restores 1e-12 agreement.
+    x = model.parameters.flat_active_values(return_canonical=True) + 0.02
 
     t0 = time.perf_counter()
     da = MPDirectAdjointObjective(qoi, F).evaluate(x)

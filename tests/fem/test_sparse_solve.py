@@ -87,6 +87,68 @@ def test_direct_matches_dense(system):
                        atol=1e-10)
 
 
+def test_cg_chebyshev_matches_direct(system):
+    from cmad_tpu.fem.sparse_solve import jax_cg_chebyshev
+
+    fe, arrays, K_data, b = system
+    sp = arrays.embedded_sparsity
+    x_dense = np.linalg.solve(_dense(K_data, sp), np.asarray(b))
+    for degree in (1, 3, 5):
+        x = jax_cg_chebyshev(K_data, sp, b, rtol=1e-12, degree=degree)
+        np.testing.assert_allclose(np.asarray(x), x_dense, rtol=1e-8,
+                                   atol=1e-12)
+
+
+def test_cg_chebyshev_iterations_beat_jacobi(system):
+    """The polynomial preconditioner must cut CG iterations vs plain
+    Jacobi on the same operator (that is its whole purpose)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cmad_tpu.fem.sparse_solve import (
+        _bcsr_operator,
+        _CHEB_LMAX_SAFETY,
+        _CHEB_LMIN_FRAC,
+        _chebyshev_apply,
+        _lanczos_dominant_eig,
+    )
+
+    fe, arrays, K_data, b = system
+    sp = arrays.embedded_sparsity
+    unique, matvec = _bcsr_operator(K_data, sp)
+    diag = unique[sp.diag_idx]
+    dis = 1.0 / jnp.sqrt(diag)
+
+    def scaled_mv(x):
+        return dis * matvec(dis * x)
+
+    lmax = _lanczos_dominant_eig(scaled_mv, sp.n, unique.dtype)
+    lmax = lmax * _CHEB_LMAX_SAFETY
+    lmin = lmax * _CHEB_LMIN_FRAC
+
+    def count_iters(precon):
+        x = jnp.zeros_like(b)
+        r = b - matvec(x)
+        z = precon(r)
+        p, rz, it = z, r @ z, 0
+        tol_sq = 1e-20 * float(b @ b)
+        while float(r @ r) > tol_sq and it < 2000:
+            Ap = matvec(p)
+            alpha = rz / (p @ Ap)
+            x, r = x + alpha * p, r - alpha * Ap
+            z = precon(r)
+            rz_new = r @ z
+            p = z + (rz_new / rz) * p
+            rz, it = rz_new, it + 1
+        return it
+
+    jacobi_iters = count_iters(lambda r: r / diag)
+    cheb_iters = count_iters(
+        lambda r: dis * _chebyshev_apply(scaled_mv, dis * r, lmin, lmax,
+                                         3))
+    assert cheb_iters < 0.6 * jacobi_iters, (jacobi_iters, cheb_iters)
+
+
 def test_cg_and_gmres_match_direct(system):
     fe, arrays, K_data, b = system
     x_lu = np.asarray(scipy_lu(K_data, arrays.embedded_sparsity, b))
