@@ -189,6 +189,8 @@ def main() -> None:
     else:
         out = measure_reference(args.mesh.resolve())
     tag = f"{args.who}_{out.get('n_elems', 'ref')}"
+    if args.who == "ours":
+        tag += f"_{args.precon}"
     (HERE / f"scale_{tag}.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
