@@ -46,8 +46,9 @@ def measure_ours(mesh_path: Path, host_loop: bool = False,
     deck["discretization"]["mesh file"] = "meshes/notch.exo"
     deck.pop("output", None)
     if backend == "tpu":
-        pc = ({"type": "chebyshev", "degree": 3}
-              if precon == "chebyshev" else {"type": "jacobi"})
+        pc = {"jacobi": {"type": "jacobi"},
+              "chebyshev": {"type": "chebyshev", "degree": 3},
+              "two_level": {"type": "two_level"}}[precon]
         deck["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
                                  "max iters": 2000,
                                  "adaptive rtol": True,
@@ -153,14 +154,17 @@ def measure_reference(mesh_path: Path) -> dict:
         res_dir = workdir / "results"
         exo = sorted(res_dir.rglob("*.exo")) if res_dir.exists() else []
         if exo:
-            sys.path.insert(0, str(REPO_ROOT))
-            from cmad_tpu.io.exodus import read_results
-            from cmad_tpu.io.results import FieldSpec
-            from cmad_tpu.models.var_types import VarType
-            res = read_results(exo[0],
-                               nodal_field_specs=[
-                                   FieldSpec("u", VarType.VECTOR)])
-            u_norm = float(np.linalg.norm(res.nodal["u"][-1]))
+            try:
+                sys.path.insert(0, str(REPO_ROOT))
+                from cmad_tpu.io.exodus import read_results
+                from cmad_tpu.io.results import FieldSpec
+                from cmad_tpu.models.var_types import VarType
+                res = read_results(exo[0],
+                                   nodal_field_specs=[
+                                       FieldSpec("u", VarType.VECTOR)])
+                u_norm = float(np.linalg.norm(res.nodal["u"][-1]))
+            except Exception as e:  # noqa: BLE001 - diagnostic only
+                u_norm = f"unreadable: {e}"
     finally:
         os.chdir(cwd)
     assert rc == 0, f"reference primal failed rc={rc}"
@@ -181,7 +185,7 @@ def main() -> None:
     ap.add_argument("--mesh", required=True, type=Path)
     ap.add_argument("--host-loop", action="store_true")
     ap.add_argument("--precon", default="jacobi",
-                    choices=["jacobi", "chebyshev"])
+                    choices=["jacobi", "chebyshev", "two_level"])
     args = ap.parse_args()
     if args.who == "ours":
         out = measure_ours(args.mesh.resolve(), host_loop=args.host_loop,

@@ -74,6 +74,25 @@ def thaw_settings(value: Any) -> Any:
     return value
 
 
+def get_two_level_pattern(fe_problem: FEProblem,
+                          target_nodes_per_aggregate: int = 48):
+    """Build (once per problem, host-side static) and cache the
+    aggregation/rigid-body prolongator for the two-level arm."""
+    cached = getattr(fe_problem, "_two_level_pattern", None)
+    if cached is not None and cached[0] == target_nodes_per_aggregate:
+        return cached[1]
+    from cmad_tpu.fem.two_level import build_two_level_pattern
+
+    pattern = build_two_level_pattern(
+        np.asarray(fe_problem.mesh.nodes, dtype=np.float64),
+        np.asarray(fe_problem.kernel_arrays.prescribed_indices),
+        fe_problem.dof_map.num_total_dofs,
+        target_nodes_per_aggregate=target_nodes_per_aggregate)
+    object.__setattr__(fe_problem, "_two_level_pattern",
+                       (target_nodes_per_aggregate, pattern))
+    return pattern
+
+
 def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
                  fe_arrays: FEKernelArrays, rhs: JaxArray,
                  settings: dict[str, Any],
@@ -100,10 +119,18 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
             return jax_cg_chebyshev(K_data, sparsity, rhs, rtol=rtol,
                                     max_iters=settings["max iters"],
                                     degree=precon_spec.get("degree", 3))
+        if precon == "two_level":
+            from cmad_tpu.fem.sparse_solve import jax_cg_two_level
+            pattern = get_two_level_pattern(
+                fe_problem,
+                precon_spec.get("aggregate nodes", 48))
+            return jax_cg_two_level(K_data, sparsity, rhs, pattern,
+                                    rtol=rtol,
+                                    max_iters=settings["max iters"])
         raise ValueError(
             f"unknown cg preconditioner {precon!r}; this build supports "
-            "'jacobi' and 'chebyshev' (no pyamg — use gmres + block for "
-            "mixed-field preconditioning)")
+            "'jacobi', 'chebyshev', and 'two_level' (no pyamg — use "
+            "gmres + block for mixed-field preconditioning)")
     if kind == "gmres":
         if precon == "jacobi":
             return jax_gmres(K_data, sparsity, rhs, rtol=rtol,

@@ -329,6 +329,36 @@ def jax_cg_chebyshev(K_data: JaxArray, sparsity: EmbeddedSparsity,
     return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
 
 
+def coo_rows_from_indptr(sparsity: EmbeddedSparsity) -> JaxArray:
+    """Row index of every deduped nonzero, traced-compatible
+    (searchsorted into the CSR indptr — no dynamic shapes)."""
+    k = jnp.arange(sparsity.num_unique)
+    return (jnp.searchsorted(sparsity.indptr, k, side="right") - 1
+            ).astype(jnp.int32)
+
+
+def jax_cg_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                     b: JaxArray, pattern, rtol: float = 1e-10,
+                     max_iters: int | None = None) -> JaxArray:
+    """CG with the aggregation/rigid-body two-level preconditioner
+    (fem/two_level.py) — the device-native pyamg replacement. SPD;
+    AD via symmetric custom_linear_solve."""
+    from cmad_tpu.fem.two_level import make_two_level_preconditioner
+
+    unique, matvec = _bcsr_operator(K_data, sparsity)
+    diag = unique[sparsity.diag_idx]
+    rows = coo_rows_from_indptr(sparsity)
+    precon = make_two_level_preconditioner(
+        pattern, unique, rows, sparsity.col_indices, diag)
+
+    def solve(_mv, rhs):
+        x, _ = jax.scipy.sparse.linalg.cg(
+            matvec, rhs, M=precon, tol=rtol, maxiter=max_iters)
+        return x
+
+    return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
 def jax_cg_with_iters(K_data, sparsity, b, rtol=1e-10, max_iters=None):
     """CG exposing the iteration count (diagnostics; no AD wrapper)."""
     _, matvec, precon = _jacobi_setup(K_data, sparsity)
