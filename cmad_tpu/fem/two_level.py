@@ -120,19 +120,23 @@ def build_two_level_pattern(coords: np.ndarray,
     # zero prescribed rows so the coarse space respects the embedded BCs
     P_vals[np.asarray(prescribed_indices, dtype=np.intp)] = 0.0
 
-    return TwoLevelPattern(jnp.asarray(P_vals), jnp.asarray(agg_of_dof),
-                           n_aggs)
+    # keep the carrier as NUMPY: the pattern is built lazily, possibly
+    # inside a jit trace (the solver dispatch), and jnp constants
+    # created there would leak tracers into the cross-trace cache
+    return TwoLevelPattern(P_vals, agg_of_dof, n_aggs)
 
 
 def _apply_P(pattern: TwoLevelPattern, x_c: JaxArray) -> JaxArray:
     """(m,) coarse -> (n_dofs,) fine."""
+    P_vals = jnp.asarray(pattern.P_vals, dtype=x_c.dtype)
     blocks = x_c.reshape(pattern.num_aggregates, 6)[pattern.agg_of_dof]
-    return jnp.sum(pattern.P_vals * blocks, axis=-1)
+    return jnp.sum(P_vals * blocks, axis=-1)
 
 
 def _apply_PT(pattern: TwoLevelPattern, r: JaxArray) -> JaxArray:
     """(n_dofs,) fine -> (m,) coarse."""
-    contrib = pattern.P_vals * r[:, None]        # (n_dofs, 6)
+    P_vals = jnp.asarray(pattern.P_vals, dtype=r.dtype)
+    contrib = P_vals * r[:, None]                # (n_dofs, 6)
     out = jnp.zeros((pattern.num_aggregates, 6), dtype=r.dtype)
     out = out.at[pattern.agg_of_dof].add(contrib)
     return out.reshape(-1)
@@ -142,11 +146,13 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
                   rows: JaxArray, cols: JaxArray) -> JaxArray:
     """A_c = P^T K P from K's deduped COO triplet, dense (m, m)."""
     m = pattern.coarse_dim
-    Pi = pattern.P_vals[rows]                    # (nnz, 6)
-    Pj = pattern.P_vals[cols]                    # (nnz, 6)
+    P_vals = jnp.asarray(pattern.P_vals, dtype=unique.dtype)
+    agg = jnp.asarray(pattern.agg_of_dof)
+    Pi = P_vals[rows]                            # (nnz, 6)
+    Pj = P_vals[cols]                            # (nnz, 6)
     block = unique[:, None, None] * Pi[:, :, None] * Pj[:, None, :]
-    ai = pattern.agg_of_dof[rows].astype(jnp.int32)
-    aj = pattern.agg_of_dof[cols].astype(jnp.int32)
+    ai = agg[rows].astype(jnp.int32)
+    aj = agg[cols].astype(jnp.int32)
     k = jnp.arange(6, dtype=jnp.int32)
     rows_c = (6 * ai)[:, None, None] + k[None, :, None]
     cols_c = (6 * aj)[:, None, None] + k[None, None, :]
