@@ -49,10 +49,12 @@ def main() -> None:
         (REPO_ROOT / "examples/notch_hosford.yaml").read_text())
     base["discretization"]["mesh file"] = "meshes/notch.exo"
     if backend == "tpu":
+        # two_level: 3.5x fewer CG iterations than jacobi at scale and
+        # full convergence where jacobi hits the iteration cap
         base["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
                                  "max iters": 2000,
                                  "adaptive rtol": True,
-                                 "preconditioner": {"type": "jacobi"}}
+                                 "preconditioner": {"type": "two_level"}}
 
     cwd = os.getcwd()
     os.chdir(workdir)
