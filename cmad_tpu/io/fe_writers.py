@@ -65,10 +65,10 @@ def _element_catalog(fe_problem: FEProblem,
                 name, var_type,
                 partial(evaluate_state_var_at_ips, resid_idx=ridx))
     for name in model.derived_output_field_names():
-        if name in catalog:
-            raise ValueError(
-                f"block {block!r}: derived output {name!r} collides with "
-                f"a state-variable name")
+        # a derived output may shadow a same-named state variable (the
+        # COUPLED Elastic model's state IS its Cauchy stress): the
+        # derived evaluator wins so 'cauchy' means the physical stress
+        # uniformly across models
         derived = DERIVED_OUTPUT_REGISTRY.get(name)
         if derived is None:
             raise ValueError(
