@@ -87,11 +87,12 @@ def build_fe_problem_from_deck(deck_path: Path,
         ls = resolved["linear solver"]
         precon = ls.get("preconditioner", {}).get("type")
         if ls["type"] != "direct" and not (
-                ls["type"] == "gmres" and precon == "block"):
+                ls["type"] == "gmres" and precon in ("block",
+                                                     "two_level")):
             raise ValueError(
                 "mixed formulations need linear solver type 'direct' or "
-                "'gmres' with a 'block' preconditioner (the tangent is "
-                f"indefinite); got {ls['type']!r}")
+                "'gmres' with a 'block' or 'two_level' preconditioner "
+                f"(the tangent is indefinite); got {ls['type']!r}")
 
     def_type = DefType[gr_section["def_type"].upper()]
     local_section = resolved["residuals"]["local residual"]

@@ -77,13 +77,27 @@ def thaw_settings(value: Any) -> Any:
 def get_two_level_pattern(fe_problem: FEProblem,
                           target_nodes_per_aggregate: int = 48):
     """Build (once per problem, host-side static) and cache the
-    aggregation/rigid-body prolongator for the two-level arm."""
+    aggregation prolongator for the two-level arm — rigid-body slots
+    for the single displacement field, RBM+constant-pressure for the
+    mixed u-p layout."""
     cached = getattr(fe_problem, "_two_level_pattern", None)
     if cached is not None and cached[0] == target_nodes_per_aggregate:
         return cached[1]
-    from cmad_tpu.fem.two_level import build_two_level_pattern
+    from cmad_tpu.fem.two_level import (
+        build_two_level_pattern,
+        build_two_level_pattern_mixed,
+    )
 
-    pattern = build_two_level_pattern(
+    comps = [int(c) for c in fe_problem.dof_map.num_dofs_per_basis_fn]
+    if comps == [3]:
+        builder = build_two_level_pattern
+    elif comps == [3, 1]:
+        builder = build_two_level_pattern_mixed
+    else:
+        raise ValueError(
+            "two_level preconditioner supports the u (3/node) or "
+            f"u+p (3,1/node) layouts; got components {comps}")
+    pattern = builder(
         np.asarray(fe_problem.mesh.nodes, dtype=np.float64),
         np.asarray(fe_problem.kernel_arrays.prescribed_indices),
         fe_problem.dof_map.num_total_dofs,
@@ -136,6 +150,14 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
             return jax_gmres(K_data, sparsity, rhs, rtol=rtol,
                              max_iters=settings["max iters"],
                              restart=settings["restart"])
+        if precon == "two_level":
+            from cmad_tpu.fem.sparse_solve import jax_gmres_two_level
+            pattern = get_two_level_pattern(
+                fe_problem, precon_spec.get("aggregate nodes", 48))
+            return jax_gmres_two_level(K_data, sparsity, rhs, pattern,
+                                       rtol=rtol,
+                                       max_iters=settings["max iters"],
+                                       restart=settings["restart"])
         if precon == "block":
             if fe_arrays.block_sparsity is None:
                 raise ValueError(

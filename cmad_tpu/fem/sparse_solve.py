@@ -359,6 +359,33 @@ def jax_cg_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
     return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
 
 
+def jax_gmres_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                        b: JaxArray, pattern, rtol: float = 1e-10,
+                        max_iters: int | None = None,
+                        restart: int = 20) -> JaxArray:
+    """GMRES with the aggregation two-level preconditioner (LU coarse
+    solve) — the mixed u-p / nonsymmetric counterpart of
+    :func:`jax_cg_two_level`."""
+    from cmad_tpu.fem.two_level import make_two_level_preconditioner
+
+    unique, matvec = _bcsr_operator(K_data, sparsity)
+    diag = unique[sparsity.diag_idx]
+    rows = coo_rows_from_indptr(sparsity)
+    precon, precon_T = make_two_level_preconditioner(
+        pattern, unique, rows, sparsity.col_indices, diag,
+        symmetric=False)
+
+    def run(op, rhs, M):
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            op, rhs, M=M, tol=rtol, maxiter=max_iters, restart=restart)
+        return x
+
+    return lax.custom_linear_solve(
+        matvec, b, lambda _mv, rhs: run(matvec, rhs, precon),
+        transpose_solve=lambda vecmat, rhs: run(vecmat, rhs, precon_T),
+        symmetric=False)
+
+
 def jax_cg_with_iters(K_data, sparsity, b, rtol=1e-10, max_iters=None):
     """CG exposing the iteration count (diagnostics; no AD wrapper)."""
     _, matvec, precon = _jacobi_setup(K_data, sparsity)

@@ -39,15 +39,25 @@ _RIDGE = 1e-8  # relative diagonal ridge on A_c (rank-deficient aggregates)
 @register_pytree_node_class
 @dataclass(frozen=True)
 class TwoLevelPattern:
-    """Static carrier for the tentative prolongator."""
+    """Static carrier for the tentative prolongator.
 
-    P_vals: JaxArray       # (n_dofs, 6)
+    ``P_vals`` has a fixed per-row width w: 6 for the displacement-only
+    layout (rigid-body slots), 7 for mixed u-p (slots 0-5 RBMs on u
+    rows, slot 6 the constant-pressure mode on p rows; unused slots are
+    zero, so the uniform width costs only harmless zero scatter-adds).
+    """
+
+    P_vals: JaxArray       # (n_dofs, w)
     agg_of_dof: JaxArray   # (n_dofs,) int32
     num_aggregates: int
 
     @property
+    def width(self) -> int:
+        return int(self.P_vals.shape[1])
+
+    @property
     def coarse_dim(self) -> int:
-        return 6 * self.num_aggregates
+        return self.width * self.num_aggregates
 
     def tree_flatten(self):
         return (self.P_vals, self.agg_of_dof), self.num_aggregates
@@ -76,11 +86,54 @@ def build_two_level_pattern(coords: np.ndarray,
             f"field layout (3 dofs/node); got n_dofs={n_dofs} for "
             f"{n_nodes} nodes")
 
-    # --- aggregate by regular binning of the bounding box ---
-    n_aggs_target = max(1, n_nodes // target_nodes_per_aggregate)
+    agg_of_node, n_aggs = _aggregate_nodes(coords,
+                                           target_nodes_per_aggregate)
+    B = _centered_rbm_blocks(coords, agg_of_node, n_aggs, dtype)
+
+    P_vals = B.reshape(n_nodes * 3, 6)
+    agg_of_dof = np.repeat(agg_of_node, 3).astype(np.int32)
+    _normalize_and_mask(P_vals, agg_of_dof, n_aggs, prescribed_indices)
+    # keep the carrier as NUMPY: the pattern is built lazily, possibly
+    # inside a jit trace (the solver dispatch), and jnp constants
+    # created there would leak tracers into the cross-trace cache
+    return TwoLevelPattern(P_vals, agg_of_dof, n_aggs)
+
+
+def build_two_level_pattern_mixed(coords: np.ndarray,
+                                  prescribed_indices: np.ndarray,
+                                  n_dofs: int,
+                                  target_nodes_per_aggregate: int = 48,
+                                  dtype=np.float64) -> TwoLevelPattern:
+    """Mixed u-p layout: width-7 rows — u dofs (block 0, 3/node) carry
+    centered rigid-body slots 0-5; p dofs (block 1, 1/node, offset 3n)
+    carry the constant-pressure mode in slot 6 (the near-null spaces of
+    the saddle point's diagonal blocks)."""
+    n_nodes = coords.shape[0]
+    if n_dofs != 4 * n_nodes:
+        raise ValueError(
+            "mixed two-level pattern expects the u (3/node) + p (1/node)"
+            f" equal-order layout; got n_dofs={n_dofs} for {n_nodes} "
+            "nodes")
+
+    agg_of_node, n_aggs = _aggregate_nodes(coords,
+                                           target_nodes_per_aggregate)
+    B = _centered_rbm_blocks(coords, agg_of_node, n_aggs, dtype)
+
+    P_vals = np.zeros((n_dofs, 7), dtype=dtype)
+    P_vals[:3 * n_nodes, :6] = B.reshape(n_nodes * 3, 6)
+    P_vals[3 * n_nodes:, 6] = 1.0
+    agg_of_dof = np.concatenate([
+        np.repeat(agg_of_node, 3), agg_of_node]).astype(np.int32)
+    _normalize_and_mask(P_vals, agg_of_dof, n_aggs, prescribed_indices)
+    return TwoLevelPattern(P_vals, agg_of_dof, n_aggs)
+
+
+def _aggregate_nodes(coords: np.ndarray, target: int):
+    """Regular bounding-box binning -> (agg_of_node, n_aggs)."""
+    n_nodes = coords.shape[0]
+    n_aggs_target = max(1, n_nodes // target)
     lo, hi = coords.min(axis=0), coords.max(axis=0)
     span = np.maximum(hi - lo, 1e-30)
-    # divisions proportional to the box extents
     rel = span / span.prod() ** (1.0 / 3.0)
     divs = np.maximum(1, np.round(rel * n_aggs_target ** (1.0 / 3.0))
                       ).astype(int)
@@ -88,17 +141,20 @@ def build_two_level_pattern(coords: np.ndarray,
                     0, divs[k] - 1) for k in range(3)]
     raw_id = (bins[0] * divs[1] + bins[1]) * divs[2] + bins[2]
     _, agg_of_node = np.unique(raw_id, return_inverse=True)
-    n_aggs = int(agg_of_node.max()) + 1
+    return agg_of_node, int(agg_of_node.max()) + 1
 
-    # --- centered rigid-body blocks per node ---
+
+def _centered_rbm_blocks(coords, agg_of_node, n_aggs, dtype):
+    """B[node, comp, mode]: translations + rotations e_k x r about the
+    aggregate centroid."""
+    n_nodes = coords.shape[0]
     centroids = np.zeros((n_aggs, 3))
     counts = np.bincount(agg_of_node, minlength=n_aggs).astype(float)
     for k in range(3):
         centroids[:, k] = (np.bincount(agg_of_node, coords[:, k],
                                        minlength=n_aggs) / counts)
-    r = coords - centroids[agg_of_node]          # (n_nodes, 3)
+    r = coords - centroids[agg_of_node]
 
-    # B[node, comp, mode]: translations + rotations e_k x r
     B = np.zeros((n_nodes, 3, 6), dtype=dtype)
     for k in range(3):
         B[:, k, k] = 1.0
@@ -106,38 +162,34 @@ def build_two_level_pattern(coords: np.ndarray,
     B[:, 1, 3], B[:, 2, 3] = -z, y
     B[:, 0, 4], B[:, 2, 4] = z, -x
     B[:, 0, 5], B[:, 1, 5] = -y, x
+    return B
 
-    # normalize each aggregate's columns (keeps A_c well-scaled); the
-    # diagonal ridge in the traced factorization covers rank-deficient
-    # (single-node / collinear) aggregates
-    P_vals = B.reshape(n_nodes * 3, 6)
-    agg_of_dof = np.repeat(agg_of_node, 3).astype(np.int32)
+
+def _normalize_and_mask(P_vals, agg_of_dof, n_aggs, prescribed_indices):
+    """Per-aggregate column normalization (A_c scaling; the traced
+    ridge covers rank-deficient aggregates) + zero prescribed rows so
+    the coarse space respects the embedded BCs. In-place."""
     for a in range(n_aggs):
         rows = np.nonzero(agg_of_dof == a)[0]
         norms = np.linalg.norm(P_vals[rows], axis=0)
         P_vals[rows] /= np.where(norms > 1e-12, norms, 1.0)
-
-    # zero prescribed rows so the coarse space respects the embedded BCs
     P_vals[np.asarray(prescribed_indices, dtype=np.intp)] = 0.0
-
-    # keep the carrier as NUMPY: the pattern is built lazily, possibly
-    # inside a jit trace (the solver dispatch), and jnp constants
-    # created there would leak tracers into the cross-trace cache
-    return TwoLevelPattern(P_vals, agg_of_dof, n_aggs)
 
 
 def _apply_P(pattern: TwoLevelPattern, x_c: JaxArray) -> JaxArray:
     """(m,) coarse -> (n_dofs,) fine."""
     P_vals = jnp.asarray(pattern.P_vals, dtype=x_c.dtype)
-    blocks = x_c.reshape(pattern.num_aggregates, 6)[pattern.agg_of_dof]
+    blocks = x_c.reshape(pattern.num_aggregates,
+                         pattern.width)[pattern.agg_of_dof]
     return jnp.sum(P_vals * blocks, axis=-1)
 
 
 def _apply_PT(pattern: TwoLevelPattern, r: JaxArray) -> JaxArray:
     """(n_dofs,) fine -> (m,) coarse."""
     P_vals = jnp.asarray(pattern.P_vals, dtype=r.dtype)
-    contrib = P_vals * r[:, None]                # (n_dofs, 6)
-    out = jnp.zeros((pattern.num_aggregates, 6), dtype=r.dtype)
+    contrib = P_vals * r[:, None]                # (n_dofs, w)
+    out = jnp.zeros((pattern.num_aggregates, pattern.width),
+                    dtype=r.dtype)
     out = out.at[pattern.agg_of_dof].add(contrib)
     return out.reshape(-1)
 
@@ -145,17 +197,17 @@ def _apply_PT(pattern: TwoLevelPattern, r: JaxArray) -> JaxArray:
 def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
                   rows: JaxArray, cols: JaxArray) -> JaxArray:
     """A_c = P^T K P from K's deduped COO triplet, dense (m, m)."""
-    m = pattern.coarse_dim
+    m, w = pattern.coarse_dim, pattern.width
     P_vals = jnp.asarray(pattern.P_vals, dtype=unique.dtype)
     agg = jnp.asarray(pattern.agg_of_dof)
-    Pi = P_vals[rows]                            # (nnz, 6)
-    Pj = P_vals[cols]                            # (nnz, 6)
+    Pi = P_vals[rows]                            # (nnz, w)
+    Pj = P_vals[cols]                            # (nnz, w)
     block = unique[:, None, None] * Pi[:, :, None] * Pj[:, None, :]
     ai = agg[rows].astype(jnp.int32)
     aj = agg[cols].astype(jnp.int32)
-    k = jnp.arange(6, dtype=jnp.int32)
-    rows_c = (6 * ai)[:, None, None] + k[None, :, None]
-    cols_c = (6 * aj)[:, None, None] + k[None, None, :]
+    k = jnp.arange(w, dtype=jnp.int32)
+    rows_c = (w * ai)[:, None, None] + k[None, :, None]
+    cols_c = (w * aj)[:, None, None] + k[None, None, :]
     flat = jnp.zeros(m * m, dtype=unique.dtype)
     flat = flat.at[(rows_c * m + cols_c).reshape(-1)].add(
         block.reshape(-1))
@@ -164,15 +216,40 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
 
 def make_two_level_preconditioner(pattern: TwoLevelPattern,
                                   unique: JaxArray, rows: JaxArray,
-                                  cols: JaxArray, diag: JaxArray):
-    """M^-1 = D^-1 + P (P^T K P)^-1 P^T (additive, SPD)."""
+                                  cols: JaxArray, diag: JaxArray,
+                                  symmetric: bool = True):
+    """M^-1 = D^-1 + P (P^T K P)^-1 P^T (additive coarse correction).
+
+    ``symmetric=True`` (SPD K): Cholesky coarse solve, for CG.
+    ``symmetric=False`` (saddle points / nonsymmetric K): LU coarse
+    solve and a |diag| smoother, for GMRES; returns
+    ``(apply, apply_transpose)`` in that case.
+    """
     A_c = coarse_matrix(pattern, unique, rows, cols)
     ridge = _RIDGE * jnp.max(jnp.abs(jnp.diag(A_c)))
     A_c = A_c + ridge * jnp.eye(A_c.shape[0], dtype=A_c.dtype)
-    chol = jax.scipy.linalg.cho_factor(A_c)
+
+    if symmetric:
+        chol = jax.scipy.linalg.cho_factor(A_c)
+
+        def apply(r):
+            z_c = jax.scipy.linalg.cho_solve(chol, _apply_PT(pattern, r))
+            return r / diag + _apply_P(pattern, z_c)
+
+        return apply
+
+    lu = jax.scipy.linalg.lu_factor(A_c)
+    lu_T = jax.scipy.linalg.lu_factor(A_c.T)
+    # |diag| keeps the smoother bounded when the pressure block carries
+    # small or sign-flipped diagonal entries
+    d_safe = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
 
     def apply(r):
-        z_c = jax.scipy.linalg.cho_solve(chol, _apply_PT(pattern, r))
-        return r / diag + _apply_P(pattern, z_c)
+        z_c = jax.scipy.linalg.lu_solve(lu, _apply_PT(pattern, r))
+        return r / d_safe + _apply_P(pattern, z_c)
 
-    return apply
+    def apply_transpose(r):
+        z_c = jax.scipy.linalg.lu_solve(lu_T, _apply_PT(pattern, r))
+        return r / d_safe + _apply_P(pattern, z_c)
+
+    return apply, apply_transpose

@@ -117,6 +117,77 @@ def test_two_level_cuts_iteration_growth():
     assert growth_tl < growth_j, results
 
 
+def _mixed_system():
+    from cmad_tpu.global_residuals.small_disp_equilibrium import (
+        SmallDispEquilibrium as SDE,
+    )
+
+    mesh = StructuredHexMesh((1.0, 1.0, 1.0), (2, 2, 2))
+    bcs = [DirichletBC(["xmin_sides"], "u", [0, 1, 2], None)]
+    dof_map = build_dof_map(
+        mesh, [GlobalFieldLayout("u", Q1_HEX),
+               GlobalFieldLayout("p", Q1_HEX)], bcs, {"u": 3, "p": 1})
+    model = Elastic(Parameters({"elastic": {"E": 1000.0, "nu": 0.49}}))
+    fe = build_fe_problem(
+        mesh, dof_map, SDE(ndims=3, mixed=True), {"all": model},
+        modes_by_block={"all": GlobalResidualMode.CLOSED_FORM})
+    arrays = fe.kernel_arrays
+    N = dof_map.num_total_dofs
+    U = jnp.zeros(N)
+    K_bcoo, _, _ = assemble_global(
+        fe, arrays, {"all": model.parameters.values}, U, U, 1.0)
+    K_data, _ = _embedded_bc_enforce(K_bcoo, arrays.prescribed_indices)
+    b = jnp.asarray(np.random.RandomState(2).normal(size=N))
+    return fe, arrays, K_data, b
+
+
+def test_mixed_two_level_gmres_matches_direct():
+    from cmad_tpu.fem.sparse_solve import jax_gmres_two_level
+
+    fe, arrays, K_data, b = _mixed_system()
+    sp = arrays.embedded_sparsity
+    pattern = get_two_level_pattern(fe, target_nodes_per_aggregate=16)
+    assert pattern.width == 7
+    x = jax_gmres_two_level(K_data, sp, b, pattern, rtol=1e-12,
+                            max_iters=2000, restart=40)
+
+    unique, _ = _bcsr_operator(K_data, sp)
+    import scipy.sparse
+
+    K = scipy.sparse.csr_matrix(
+        (np.asarray(unique), np.asarray(sp.col_indices),
+         np.asarray(sp.indptr)), shape=(sp.n, sp.n))
+    x_ref = scipy.sparse.linalg.spsolve(K.tocsc(), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-6,
+                               atol=1e-9 * np.abs(x_ref).max())
+
+
+def test_mixed_two_level_drives_newton():
+    """Full mixed u-p elastic patch solved with gmres + two_level
+    matches the direct solve."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from fem.test_mixed_up import _problem
+
+    from cmad_tpu.fem.driver import fe_quasistatic_drive
+
+    _, _, fe = _problem()
+    state_tl, _ = fe_quasistatic_drive(
+        fe, [0.0, 1.0],
+        linear_solver_settings={
+            "type": "gmres", "rtol": 1e-12, "max iters": 4000,
+            "restart": 40,
+            "preconditioner": {"type": "two_level",
+                               "aggregate nodes": 16}})
+    _, _, fe2 = _problem()
+    state_d, _ = fe_quasistatic_drive(
+        fe2, [0.0, 1.0], linear_solver_settings={"type": "direct"})
+    np.testing.assert_allclose(np.asarray(state_tl.U_at(1)),
+                               np.asarray(state_d.U_at(1)),
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_grad_through_two_level_solve():
     fe, arrays, _, b = _system(2)
     sp = arrays.embedded_sparsity
