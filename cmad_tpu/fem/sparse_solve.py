@@ -376,8 +376,13 @@ def jax_gmres_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
         symmetric=False)
 
     def run(op, rhs, M):
+        # incremental (modified Gram-Schmidt) Arnoldi: the batched
+        # variant has no Givens breakdown guard and can emit NaN when
+        # the coarse correction makes a Krylov direction numerically
+        # dependent in f32
         x, _ = jax.scipy.sparse.linalg.gmres(
-            op, rhs, M=M, tol=rtol, maxiter=max_iters, restart=restart)
+            op, rhs, M=M, tol=rtol, maxiter=max_iters, restart=restart,
+            solve_method="incremental")
         return x
 
     return lax.custom_linear_solve(

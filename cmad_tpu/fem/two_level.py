@@ -33,7 +33,9 @@ from jax.tree_util import register_pytree_node_class
 
 from cmad_tpu.typing import JaxArray
 
-_RIDGE = 1e-8  # relative diagonal ridge on A_c (rank-deficient aggregates)
+_RIDGE = 1e-8          # diagonal ridge on the equilibrated A_c
+_NULL_COL_REL = 1e-8   # relative diagonal floor below which a coarse
+                       # column is deflated (dropped) instead of scaled
 
 
 @register_pytree_node_class
@@ -226,30 +228,47 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
     ``(apply, apply_transpose)`` in that case.
     """
     A_c = coarse_matrix(pattern, unique, rows, cols)
-    ridge = _RIDGE * jnp.max(jnp.abs(jnp.diag(A_c)))
-    A_c = A_c + ridge * jnp.eye(A_c.shape[0], dtype=A_c.dtype)
+    # Symmetric diagonal equilibration + null-column deflation.
+    # Rank-deficient aggregate slots (single-node aggregates, prescribed
+    # rows, the pressure slot of pure-u problems) leave near-null
+    # columns whose diagonal sits ~1e-10 of the max; equilibrating them
+    # would amplify junk directions by ~1e5 and a ridge-backed solve
+    # then feeds GMRES garbage that can turn NaN in f32. Deflate them:
+    # scale to O(1) where the column has energy, zero it where it does
+    # not (the identity on dropped slots keeps the LU nonsingular and
+    # the outer s-multiplications exactly zero their contribution).
+    d_c = jnp.abs(jnp.diag(A_c))
+    keep = d_c > (_NULL_COL_REL * jnp.max(d_c))
+    s = jnp.where(keep,
+                  1.0 / jnp.sqrt(jnp.where(keep, d_c, 1.0)),
+                  0.0)
+    A_s = (s[:, None] * A_c) * s[None, :]
+    A_s = A_s + jnp.diag(jnp.where(keep, _RIDGE, 1.0)
+                         .astype(A_s.dtype))
 
     if symmetric:
-        chol = jax.scipy.linalg.cho_factor(A_c)
+        chol = jax.scipy.linalg.cho_factor(A_s)
 
         def apply(r):
-            z_c = jax.scipy.linalg.cho_solve(chol, _apply_PT(pattern, r))
+            rhs = s * _apply_PT(pattern, r)
+            z_c = s * jax.scipy.linalg.cho_solve(chol, rhs)
             return r / diag + _apply_P(pattern, z_c)
 
         return apply
 
-    lu = jax.scipy.linalg.lu_factor(A_c)
-    lu_T = jax.scipy.linalg.lu_factor(A_c.T)
+    lu = jax.scipy.linalg.lu_factor(A_s)
+    lu_T = jax.scipy.linalg.lu_factor(A_s.T)
     # |diag| keeps the smoother bounded when the pressure block carries
     # small or sign-flipped diagonal entries
     d_safe = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
 
     def apply(r):
-        z_c = jax.scipy.linalg.lu_solve(lu, _apply_PT(pattern, r))
+        z_c = s * jax.scipy.linalg.lu_solve(lu, s * _apply_PT(pattern, r))
         return r / d_safe + _apply_P(pattern, z_c)
 
     def apply_transpose(r):
-        z_c = jax.scipy.linalg.lu_solve(lu_T, _apply_PT(pattern, r))
+        z_c = s * jax.scipy.linalg.lu_solve(lu_T,
+                                            s * _apply_PT(pattern, r))
         return r / d_safe + _apply_P(pattern, z_c)
 
     return apply, apply_transpose
