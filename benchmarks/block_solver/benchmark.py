@@ -40,6 +40,9 @@ SOLVER_CONFIGS: dict[str, dict] = {
         "preconditioner": {"type": "block", "coupling": "lower",
                            "inner": "chebyshev", "degree": 3,
                            "diagonal_block": "schur"}},
+    "two-level": {
+        "type": "gmres", "rtol": 1e-10, "restart": 40,
+        "preconditioner": {"type": "two_level"}},
 }
 
 
@@ -114,10 +117,10 @@ def run_config(fe, dof_map, name: str, lss: dict, n_steps: int):
     compile_s = time.perf_counter() - t0
 
     out = compiled(params, state_init)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    _ = float(jnp.sum(out[0]))  # readback barrier (block_until_ready
+    t0 = time.perf_counter()    # does not sync through the axon tunnel)
     out = compiled(params, state_init)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out[0]))
     warm_s = time.perf_counter() - t0
 
     U_final = np.asarray(out[0][-1])
