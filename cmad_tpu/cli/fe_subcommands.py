@@ -63,12 +63,28 @@ def run_primal_fe(deck_path: Path) -> int:
     write_qoi = (qoi if qoi is not None and qoi.produces_primal_output()
                  else None)
     from cmad_tpu.util.profiling import maybe_trace
+
+    driver = bundle.resolved["residuals"]["global residual"].get(
+        "driver", "scan")
     with maybe_trace(bundle.resolved):
-        state, J = fe_quasistatic_drive(
-            bundle.fe_problem, bundle.t_schedule.tolist(),
-            nonlinear_solver_settings=_nls_settings(bundle),
-            linear_solver_settings=bundle.resolved["linear solver"],
-            qoi=None if write_qoi is not None else qoi)
+        if driver == "host":
+            from cmad_tpu.fem.nonlinear_solver import (
+                fe_quasistatic_drive_host,
+            )
+
+            state, _log = fe_quasistatic_drive_host(
+                bundle.fe_problem, bundle.t_schedule.tolist(),
+                nonlinear_solver_settings=_nls_settings(bundle),
+                linear_solver_settings=bundle.resolved["linear solver"])
+            J = _accumulate_qoi_over_history(
+                bundle, state,
+                None if write_qoi is not None else qoi)
+        else:
+            state, J = fe_quasistatic_drive(
+                bundle.fe_problem, bundle.t_schedule.tolist(),
+                nonlinear_solver_settings=_nls_settings(bundle),
+                linear_solver_settings=bundle.resolved["linear solver"],
+                qoi=None if write_qoi is not None else qoi)
 
     if "output" not in bundle.resolved:
         return 0
@@ -87,6 +103,32 @@ def run_primal_fe(deck_path: Path) -> int:
     elif qoi is not None:
         write_J(out_dir, prefix, float(J))
     return 0
+
+
+def _accumulate_qoi_over_history(bundle: FEProblemBundle, state,
+                                 qoi) -> float:
+    """Sum an accumulating QoI's step contributions over a recorded
+    trajectory (the host driver has no in-scan accumulator)."""
+    if qoi is None:
+        return 0.0
+    import jax.numpy as jnp
+
+    from cmad_tpu.fem.assembly import params_by_block_from_models
+
+    fe = bundle.fe_problem
+    closure = qoi.step_contribution(params_by_block_from_models(fe),
+                                    fe.kernel_arrays)
+    coupled = list(fe.models_by_block)
+    J = 0.0
+    ts = [float(t) for t in bundle.t_schedule]
+    for k in range(1, len(ts)):
+        xi = {b: jnp.asarray(state.xi_at(k, b)) for b in coupled}
+        xi_prev = {b: jnp.asarray(state.xi_at(k - 1, b))
+                   for b in coupled}
+        J += float(closure(jnp.asarray(state.U_at(k)),
+                           jnp.asarray(state.U_at(k - 1)),
+                           xi, xi_prev, ts[k], ts[k - 1]))
+    return J
 
 
 def run_objective_fe(deck_path: Path) -> int:
