@@ -30,7 +30,7 @@ REFERENCE = "/root/reference"
 
 
 def measure_ours(mesh_path: Path, host_loop: bool = False,
-                 precon: str = "jacobi", fused: bool = False) -> dict:
+                 precon: str = "jacobi") -> dict:
     sys.path.insert(0, str(REPO_ROOT))
     import jax
     import jax.numpy as jnp
@@ -80,8 +80,7 @@ def measure_ours(mesh_path: Path, host_loop: bool = False,
             )
 
             def run_once():
-                state, _log = fe_quasistatic_drive_host(
-                    fe, ts, fuse_iteration=fused, **kwargs)
+                state, _log = fe_quasistatic_drive_host(fe, ts, **kwargs)
                 return np.asarray(state.U_at(len(ts) - 1))
 
             u_final = run_once()  # compile
@@ -118,8 +117,7 @@ def measure_ours(mesh_path: Path, host_loop: bool = False,
         "cold_value": round(cold, 2),
         "unit": "s",
         "backend": backend,
-        "driver": (("host-loop-fused" if fused else "host-loop")
-                   if host_loop else "scan"),
+        "driver": "host-loop" if host_loop else "scan",
         "preconditioner": precon if backend == "tpu" else "direct",
         "n_elems": int(fe.mesh.connectivity.shape[0]),
         "n_dofs": int(fe.dof_map.num_total_dofs),
@@ -186,13 +184,12 @@ def main() -> None:
     ap.add_argument("who", choices=["ours", "reference"])
     ap.add_argument("--mesh", required=True, type=Path)
     ap.add_argument("--host-loop", action="store_true")
-    ap.add_argument("--fused", action="store_true")
     ap.add_argument("--precon", default="jacobi",
                     choices=["jacobi", "chebyshev", "two_level"])
     args = ap.parse_args()
     if args.who == "ours":
         out = measure_ours(args.mesh.resolve(), host_loop=args.host_loop,
-                           precon=args.precon, fused=args.fused)
+                           precon=args.precon)
     else:
         out = measure_reference(args.mesh.resolve())
     tag = f"{args.who}_{out.get('n_elems', 'ref')}"

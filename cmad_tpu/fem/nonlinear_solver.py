@@ -337,8 +337,7 @@ def fe_newton_solve_host(fe_problem: FEProblem,
                          U_prev, xi_prev_by_block=None, t: float = 0.0,
                          nonlinear_solver_settings: dict | None = None,
                          linear_solver_settings: dict | None = None,
-                         _jit_cache: dict | None = None,
-                         fuse_iteration: bool = False):
+                         _jit_cache: dict | None = None):
     """Host-driven FE Newton: one device dispatch per assemble and per
     linear solve, with a host synchronization between iterations.
 
@@ -347,12 +346,6 @@ def fe_newton_solve_host(fe_problem: FEProblem,
     accelerators can kill sustained multi-minute programs) and for
     reference-parity imperative solver logging: returns
     ``(U*, xi*, iters, final_norm)``.
-
-    ``fuse_iteration=True`` merges assemble+solve+update into ONE
-    dispatch per iteration (half the per-dispatch tunnel latency; the
-    Eisenstat-Walker forcing then runs one norm behind). The program
-    per dispatch is ~2x longer — keep it off where the fused scan
-    already crashes the remote worker marginally.
 
     Pass a persistent ``_jit_cache`` dict across calls (e.g. per time
     loop) so the assemble/solve closures compile once.
@@ -388,20 +381,8 @@ def fe_newton_solve_host(fe_problem: FEProblem,
                                 thaw_settings(lss_frozen),
                                 rtol_override=rtol_k)
 
-        def fused(fe_arrays, params, U, U_prev, xi_prev, t, pv, rtol_k):
-            r, K_data, xi = assemble(fe_arrays, params, U, U_prev,
-                                     xi_prev, t, pv)
-            dU = solve(K_data, fe_arrays, -r, rtol_k)
-            return U + dU, jnp.linalg.norm(r), xi
-
         cache["assemble"] = jax.jit(assemble)
         cache["solve"] = jax.jit(solve)
-        cache["fused"] = jax.jit(fused)
-
-    if fuse_iteration:
-        return _newton_host_fused(fe_problem, cache, params_by_block, U,
-                                  U_prev, xi_prev, t, presc_vals, nls,
-                                  lss)
 
     fe_arrays = fe_problem.kernel_arrays
     r, K_data, xi = cache["assemble"](fe_arrays, params_by_block, U,
@@ -450,57 +431,10 @@ def fe_newton_solve_host(fe_problem: FEProblem,
     return U, xi, it, norm
 
 
-def _newton_host_fused(fe_problem, cache, params_by_block, U, U_prev,
-                       xi_prev, t, presc_vals, nls, lss):
-    """One dispatch per Newton iteration: each call returns
-    ``(U_next, ||r(U)||, xi(U))``; forcing terms use the lagged norms.
-    """
-    fe_arrays = fe_problem.kernel_arrays
-    adaptive = bool(lss.get("adaptive rtol", False)) \
-        and lss["type"] in ("cg", "gmres")
-    abs_tol, rel_tol = float(nls["abs tol"]), float(nls["rel tol"])
-    max_iters = int(nls["max iters"])
-
-    def rtol_for(it, norm, norm_prev):
-        if not adaptive:
-            return jnp.asarray(lss["rtol"], dtype=config.real_dtype())
-        eta = 0.9 * (norm / norm_prev) ** 2 if it > 1 else 1e-2
-        return jnp.asarray(min(max(eta, lss["rtol"]), 1e-2),
-                           dtype=config.real_dtype())
-
-    norm0 = None
-    norm_prev = None
-    norm = None
-    it = 0
-    xi = xi_prev
-    while it < max_iters:
-        rtol_k = rtol_for(it, norm if norm is not None else 1.0,
-                          norm_prev if norm_prev else 1.0)
-        U_next, norm_at_U, xi_at_U = cache["fused"](
-            fe_arrays, params_by_block, U, U_prev, xi_prev, t,
-            presc_vals, rtol_k)
-        norm_prev, norm = norm, float(norm_at_U)   # host sync (scalar)
-        if norm0 is None:
-            norm0 = max(norm, abs_tol)
-        it += 1
-        xi = xi_at_U
-        if nls["print convergence"]:
-            print(f" > ({it}) Newton: abs ||R|| = {norm:.6e} "
-                  f"rel ||R|| = {norm / norm0:.6e}")
-        if norm < abs_tol or norm < rel_tol * norm0:
-            # U (not U_next) is the converged iterate the norm refers
-            # to; xi matches it
-            break
-        if norm_prev is not None and norm >= 0.99 * norm_prev:
-            break  # stagnation at the fp floor
-        U = U_next
-    return U, xi, it, norm
-
-
 def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
                               nonlinear_solver_settings: dict | None = None,
                               linear_solver_settings: dict | None = None,
-                              U_init=None, fuse_iteration: bool = False):
+                              U_init=None):
     """Host-driven quasi-static time loop (one Newton per step, each
     iteration a separate device dispatch). Returns
     ``(FEState, solver_log)`` where solver_log is the per-step
@@ -522,7 +456,7 @@ def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
             fe_problem, params, U, xi, t=t,
             nonlinear_solver_settings=nonlinear_solver_settings,
             linear_solver_settings=linear_solver_settings,
-            _jit_cache=cache, fuse_iteration=fuse_iteration)
+            _jit_cache=cache)
         xi = {**xi, **xi_solved}
         state.append(np.asarray(U), {b: np.asarray(v)
                                      for b, v in xi.items()}, t_new=t)

@@ -95,21 +95,3 @@ def test_host_drive_matches_scan_drive():
                            atol=1e-9)
         assert np.allclose(host_state.xi_at(k, "all"),
                            scan_state.xi_at(k, "all"), atol=1e-8)
-
-
-def test_fused_host_drive_matches_scan_drive():
-    """fuse_iteration=True (one dispatch per Newton iteration, lagged
-    forcing) reproduces the scan driver on the plastic cube."""
-    from cmad_tpu.fem.nonlinear_solver import fe_quasistatic_drive_host
-
-    fe = _problem()
-    t_schedule = [0.0, 0.5, 1.0]
-    scan_state, _ = fe_quasistatic_drive(fe, t_schedule)
-    host_state, log = fe_quasistatic_drive_host(fe, t_schedule,
-                                                fuse_iteration=True)
-    assert len(log) == 2
-    for k in (1, 2):
-        assert np.allclose(host_state.U_at(k), scan_state.U_at(k),
-                           atol=1e-9)
-        assert np.allclose(host_state.xi_at(k, "all"),
-                           scan_state.xi_at(k, "all"), atol=1e-8)
