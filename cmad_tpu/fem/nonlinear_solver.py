@@ -428,6 +428,21 @@ def fe_newton_solve_host(fe_problem: FEProblem,
             stagnant = 0
             U, r, K_data, xi, norm = (U_trial, r_trial, K_trial,
                                       xi_trial, norm_trial)
+
+    # a stagnation/iteration-cap exit far above BOTH tolerances means
+    # the returned state is unconverged (e.g. a preconditioner too weak
+    # for this tangent) — it is recorded in the caller's log, but a
+    # silently wrong plasticity step poisons the whole history, so warn
+    if (norm >= 100.0 * float(nls["abs tol"])
+            and norm >= 100.0 * float(nls["rel tol"]) * norm0):
+        import warnings
+
+        warnings.warn(
+            f"host FE Newton at t={t} stopped at ||R|| = {norm:.3e} "
+            f"after {it} iterations (abs tol {float(nls['abs tol']):.1e}"
+            f", rel {float(nls['rel tol']):.1e} x ||R0|| = {norm0:.3e})"
+            " — the step is likely unconverged; check the linear-solver"
+            " configuration", RuntimeWarning, stacklevel=2)
     return U, xi, it, norm
 
 
