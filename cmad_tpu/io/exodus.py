@@ -328,22 +328,30 @@ def read_results(path: Path, nodal_field_specs=None,
     nc = _open_read(Path(path))
     try:
         times = np.asarray(nc.variables["time_whole"][:]).astype(float)
+
+        def nodal_series(idx):
+            """Per-variable series (steps, nodes): handles both the
+            large-model layout (vals_nod_var{i}) this writer emits and
+            the classic packed layout (vals_nod_var[time, var, node])
+            netCDF4-based writers like the reference produce."""
+            key = f"vals_nod_var{idx + 1}"
+            if key in nc.variables:
+                return np.asarray(nc.variables[key][:]).astype(float)
+            return np.asarray(
+                nc.variables["vals_nod_var"][:, idx, :]).astype(float)
+
         nodal = {}
         if nodal_field_specs is None and "name_nod_var" in nc.variables:
             names = _decode_names(nc.variables["name_nod_var"][:])
             for i, name in enumerate(names):
-                nodal[name] = np.asarray(
-                    nc.variables[f"vals_nod_var{i + 1}"][:]).astype(float)
+                nodal[name] = nodal_series(i)
         if nodal_field_specs:
             names = _decode_names(nc.variables["name_nod_var"][:])
             for spec in nodal_field_specs:
                 comps = component_names(spec.name, spec.var_type)
                 cols = []
                 for comp in comps:
-                    idx = names.index(comp)
-                    cols.append(np.asarray(
-                        nc.variables[f"vals_nod_var{idx + 1}"][:]
-                    ).astype(float))
+                    cols.append(nodal_series(names.index(comp)))
                 nodal[spec.name] = np.stack(cols, axis=-1)
 
         element = {}

@@ -107,6 +107,45 @@ def test_raw_read_without_specs(tmp_path, mesh):
                                2.0 * np.arange(n))
 
 
+def test_classic_packed_nodal_layout(tmp_path, mesh):
+    """netCDF4-based writers (e.g. the reference through its shim) pack
+    nodal vars as one (time, var, node) array; the reader must handle
+    both that and our per-variable layout."""
+    from scipy.io import netcdf_file
+
+    n = mesh.nodes.shape[0]
+    # minimal classic-layout results file built directly
+    packed = tmp_path / "classic.exo"
+    dst = netcdf_file(str(packed), "w", version=2, mmap=False)
+    dst.createDimension("time_step", None)
+    dst.createDimension("num_nodes", n)
+    dst.createDimension("num_nod_var", 3)
+    dst.createDimension("len_string", 33)
+    tv = dst.createVariable("time_whole", "d", ("time_step",))
+    names = dst.createVariable("name_nod_var", "c",
+                               ("num_nod_var", "len_string"))
+    arr = np.zeros((3, 33), dtype="S1")
+    for i, nm in enumerate(("u_x", "u_y", "u_z")):
+        for j, ch in enumerate(nm):
+            arr[i, j] = ch.encode()
+    names[:] = arr
+    pv = dst.createVariable("vals_nod_var", "d",
+                            ("time_step", "num_nod_var", "num_nodes"))
+    rng = np.random.RandomState(3)
+    series = rng.normal(size=(1, 3, n))
+    tv[0] = 0.5
+    pv[0] = series[0]
+    dst.close()
+
+    res = read_results(packed,
+                       nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+    np.testing.assert_allclose(res.nodal["u"][0],
+                               series[0].T, rtol=1e-14)
+    raw = read_results(packed)
+    np.testing.assert_allclose(raw.nodal["u_y"][0], series[0, 1],
+                               rtol=1e-14)
+
+
 def test_storage_order_is_exodus_convention():
     """Internal order (xx yy zz xy yz xz) -> Exodus (xx yy zz xy yz zx):
     round trip must be the identity even when the permutation is not."""
