@@ -7,17 +7,24 @@ the fix for Jacobi-CG's 1/h iteration growth at scale):
 - **Setup (host, static, once per problem):** nodes are binned into
   coordinate aggregates; each aggregate carries the 6 rigid-body modes
   centered at its centroid (the near-null space of 3D elasticity — the
-  low-energy modes one-level smoothers cannot damp). Prescribed
-  Dirichlet rows are zeroed. The result is the tentative prolongator P
-  with a fixed 6-wide block per dof row, stored as
-  ``(P_vals (n_dofs, 6), agg_of_dof (n_dofs,))`` — no ragged
+  low-energy modes one-level smoothers cannot damp), plus a constant-
+  pressure mode for the mixed u-p layout. Prescribed Dirichlet rows are
+  zeroed. The result is the tentative prolongator P with a fixed
+  w-wide block per dof row (w = 6 or 7), stored as
+  ``(P_vals (n_dofs, w), agg_of_dof (n_dofs,))`` — no ragged
   structure, so every traced apply is a gather + elementwise op.
 - **Per-solve (traced):** the coarse operator A_c = P^T K P is
-  contracted straight from K's deduped COO (one 36-term outer product
+  contracted straight from K's deduped COO (one w*w-term outer product
   per nonzero, scatter-added into the dense (m, m) coarse matrix),
-  Cholesky-factored once; each preconditioner application is
-  ``z = D^-1 r + P A_c^-1 P^T r`` (additive Jacobi + coarse
-  correction — SPD, so CG stays valid).
+  diagonally equilibrated with near-null columns deflated, then
+  factored once (Cholesky for SPD/CG, LU for saddle points/GMRES);
+  each application is ``z = D^-1 r + P A_c^-1 P^T r`` (additive
+  smoother + coarse correction).
+
+Validated envelope: displacement CG (SPD) at any tested scale; mixed
+u-p GMRES on elastic tangents. On mixed PLASTIC tangents in f32 the
+scalar smoother is too weak — use the block-chebyshev arm there
+(see the verify recipe).
 
 Everything is XLA-friendly: gathers, segment sums, one small dense
 factorization — no host callbacks.
