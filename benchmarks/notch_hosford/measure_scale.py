@@ -144,6 +144,10 @@ def measure_reference(mesh_path: Path) -> dict:
 
     from cmad.cli.main import main as ref_main
 
+    sys.path.insert(0, str(REPO_ROOT))
+    from cmad_tpu.io.exodus import read_mesh
+    n_elems = int(read_mesh(mesh_path).connectivity.shape[0])
+
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
@@ -175,6 +179,7 @@ def measure_reference(mesh_path: Path) -> dict:
         "value": round(wall, 2),
         "unit": "s",
         "hardware": "host CPU (float64, SuperLU direct)",
+        "n_elems": n_elems,
         "u_norm_final": u_norm,
     }
 
