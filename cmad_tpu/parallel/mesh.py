@@ -19,9 +19,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def element_mesh(n_devices: int | None = None,
-                 axis_name: str = "elem") -> Mesh:
-    """1-D device mesh over the element batch."""
-    devices = jax.devices()
+                 axis_name: str = "elem",
+                 devices=None) -> Mesh:
+    """1-D device mesh over the element batch.
+
+    ``devices`` lets callers pin an explicit device list (e.g.
+    ``jax.devices("cpu")`` for the virtual multi-chip dryrun, so the
+    default — possibly TPU — platform is never touched).
+    """
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
