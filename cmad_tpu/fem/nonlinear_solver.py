@@ -124,6 +124,29 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
     precon_spec = settings.get("preconditioner", {"type": "jacobi"})
     precon = precon_spec["type"]
 
+    if settings.get("solve dtype") == "mixed":
+        # f64 iterative refinement around an f32 inner Krylov solve —
+        # the TPU arm for reference-grade (f64) linear-solve accuracy
+        # at f32 SpMV cost. No-op unless x64 is enabled.
+        from cmad_tpu.fem.sparse_solve import jax_cg_mixed, jax_gmres_mixed
+
+        pattern = None
+        if precon == "two_level":
+            pattern = get_two_level_pattern(
+                fe_problem, precon_spec.get("aggregate nodes", 48))
+        if kind == "cg":
+            return jax_cg_mixed(K_data, sparsity, rhs, rtol=rtol,
+                                max_iters=settings["max iters"],
+                                precon=precon, pattern=pattern,
+                                degree=precon_spec.get("degree", 3))
+        if kind == "gmres":
+            return jax_gmres_mixed(K_data, sparsity, rhs, pattern=pattern,
+                                   rtol=rtol,
+                                   max_iters=settings["max iters"],
+                                   restart=settings["restart"])
+        raise ValueError(
+            f"solve dtype 'mixed' supports cg/gmres, not {kind!r}")
+
     if kind == "cg":
         if precon == "jacobi":
             return jax_cg(K_data, sparsity, rhs, rtol=rtol,
@@ -405,11 +428,34 @@ def fe_newton_solve_host(fe_problem: FEProblem,
             rtol_k = jnp.asarray(lss["rtol"], dtype=config.real_dtype())
         norm_hist = norm
         dU = cache["solve"](K_data, fe_arrays, -r, rtol_k)
-        U_trial = U + dU
-        r_trial, K_trial, xi_trial = cache["assemble"](
-            fe_arrays, params_by_block, U_trial, U_prev, xi_prev, t,
-            presc_vals)
-        norm_trial = float(jnp.linalg.norm(r_trial))  # host sync
+        # backtracking line search on ||r|| (host-observed): a full
+        # Newton step on a near-Tresca (Hosford a=100) tangent can
+        # overshoot the yield surface and bounce — without damping the
+        # host loop stagnates at rel ~5e-3 on the notch where the scan
+        # driver (cubic line search) converges. Armijo with halving;
+        # each probe reuses the full (r, K, xi) assembly as its
+        # accepted-state aux (same trick as util/line_search.py).
+        ls_host = {**DEFAULT_LINE_SEARCH_SETTINGS,
+                   **nls.get("line search", {})}
+        max_probes = max(1, int(ls_host.get("max evals", 5)))
+        alpha = 1.0
+        accepted = best = None
+        for _probe in range(max_probes):
+            U_trial = U + alpha * dU
+            r_trial, K_trial, xi_trial = cache["assemble"](
+                fe_arrays, params_by_block, U_trial, U_prev, xi_prev, t,
+                presc_vals)
+            norm_trial = float(jnp.linalg.norm(r_trial))  # host sync
+            trial = (U_trial, r_trial, K_trial, xi_trial, norm_trial)
+            if best is None or norm_trial < best[4]:
+                best = trial
+            if norm_trial <= (1.0 - 1e-4 * alpha) * norm:
+                accepted = trial
+                break
+            alpha *= 0.5
+        if accepted is None:
+            accepted = best  # least-bad probe; stagnation guard decides
+        U_trial, r_trial, K_trial, xi_trial, norm_trial = accepted
         it += 1
         if nls["print convergence"]:
             print(f" > ({it}) Newton: abs ||R|| = {norm_trial:.6e} "

@@ -20,6 +20,7 @@ from jax import vmap
 
 from cmad_tpu.fem.dof import GlobalFieldLayout
 from cmad_tpu.fem.mesh import Mesh, element_rms_edge_sizes
+from cmad_tpu.ops.linalg import det3, inv3
 from cmad_tpu.fem.quadrature import QuadratureRule
 from cmad_tpu.fem.topology import ElementFamily
 
@@ -55,8 +56,10 @@ def precompute_block_geometry(
         X = jnp.asarray(mesh.nodes[mesh.connectivity[elems]])  # (n_b, ng, 3)
         # iso_jac[e, p, i, j] = dx_i/dxi_j
         iso_jac = jnp.einsum("eai,paj->epij", X, geom.grad_N)
-        det = jnp.linalg.det(iso_jac)
-        inv = jnp.linalg.inv(iso_jac)
+        # closed-form 3x3 det/inv: elementwise-only, so the f64 path
+        # compiles on TPU (XLA's LuDecomposition custom call is F32-only)
+        det = det3(iso_jac)
+        inv = inv3(iso_jac)
         coords_ip = jnp.einsum("pa,eai->epi", geom.N, X)
         grad_N_phys = tuple(
             jnp.einsum("pnj,epji->epni", g_ref, inv)

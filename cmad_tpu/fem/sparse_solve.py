@@ -428,6 +428,189 @@ def jax_gmres_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
         symmetric=False)
 
 
+_MIXED_IR_CYCLES = 8  # outer f64 refinement cycles around the f32 CG
+_F32_INNER_RTOL = 1e-6  # what a preconditioned f32 CG can reliably reach
+
+
+def _build_f32_cg_precon(kind, unique32, sparsity, pattern, degree,
+                         matvec32):
+    """f32 preconditioner closure for the inner CG of the mixed solver."""
+    diag = unique32[sparsity.diag_idx]
+    if kind == "jacobi":
+        return lambda x: x / diag
+    if kind == "two_level":
+        from cmad_tpu.fem.two_level import make_two_level_preconditioner
+
+        rows = coo_rows_from_indptr(sparsity)
+        return make_two_level_preconditioner(
+            pattern, unique32, rows, sparsity.col_indices, diag)
+    if kind == "chebyshev":
+        dis = 1.0 / jnp.sqrt(diag)
+
+        def scaled_mv(x):
+            return dis * matvec32(dis * x)
+
+        lmax = _lanczos_dominant_eig(scaled_mv, sparsity.n,
+                                     unique32.dtype) * _CHEB_LMAX_SAFETY
+        lmin = lmax * _CHEB_LMIN_FRAC
+        return lambda r: dis * _chebyshev_apply(scaled_mv, dis * r, lmin,
+                                                lmax, degree)
+    raise ValueError(f"unknown mixed-CG preconditioner {kind!r}")
+
+
+def jax_cg_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                 b: JaxArray, rtol: float = 1e-10,
+                 max_iters: int | None = None, precon: str = "jacobi",
+                 pattern=None, degree: int = 3) -> JaxArray:
+    """Mixed-precision CG: f64 iterative refinement around an f32 inner
+    preconditioned CG.
+
+    The TPU story for the reference's f64 direct solves (SURVEY.md §7
+    "f64 problem, f32 hardware"): the Krylov iterations — thousands of
+    SpMVs, the dominant compute — run in native f32, while each
+    refinement cycle recomputes the TRUE residual with the f64 operator
+    and accumulates the correction in f64. Classic mixed-precision IR:
+    each cycle contracts the f64 residual by roughly the inner solve's
+    f32 accuracy (~1e-6 with a strong preconditioner), so a handful of
+    cycles reach f64-limited accuracy at f32 Krylov cost. Requires x64
+    enabled (``CMAD_X64=1``/``mixed``); with f32 inputs it degrades to
+    the plain f32 arm.
+    """
+    if K_data.dtype != jnp.float64:
+        if precon == "jacobi":
+            return jax_cg(K_data, sparsity, b, rtol=rtol,
+                          max_iters=max_iters)
+        if precon == "two_level":
+            return jax_cg_two_level(K_data, sparsity, b, pattern,
+                                    rtol=rtol, max_iters=max_iters)
+        return jax_cg_chebyshev(K_data, sparsity, b, rtol=rtol,
+                                max_iters=max_iters, degree=degree)
+
+    unique64, matvec64 = _bcsr_operator(K_data, sparsity)
+    unique32 = unique64.astype(jnp.float32)
+    K32 = BCSR((unique32, sparsity.col_indices, sparsity.indptr),
+               shape=(sparsity.n, sparsity.n))
+
+    def matvec32(x):
+        return K32 @ x
+
+    precon32 = _build_f32_cg_precon(precon, unique32, sparsity, pattern,
+                                    degree, matvec32)
+    if max_iters is None:
+        max_iters = 10 * b.shape[0]
+    m = max(1, int(max_iters) // _MIXED_IR_CYCLES)
+    # rtol may be a traced override (adaptive forcing terms)
+    inner_rtol = jnp.maximum(jnp.asarray(rtol, dtype=jnp.float32),
+                             _F32_INNER_RTOL)
+
+    def solve(_mv, rhs):
+        rhs_norm = jnp.linalg.norm(rhs)
+
+        def cond(state):
+            c, _x, rel = state
+            return jnp.logical_and(c < _MIXED_IR_CYCLES, rel > rtol)
+
+        def body(state):
+            c, x, _rel = state
+            r = rhs - matvec64(x)                      # f64 true residual
+            # normalize the inner rhs: later cycles carry residuals far
+            # below f32 scale, where the Krylov kernels' small-norm
+            # guards would declare breakdown and return zero
+            s = jnp.linalg.norm(r)
+            r32 = (r / jnp.where(s > 0.0, s, 1.0)).astype(jnp.float32)
+            dx, _ = jax.scipy.sparse.linalg.cg(
+                matvec32, r32, M=precon32, tol=inner_rtol, maxiter=m)
+            x = x + s * dx.astype(jnp.float64)
+            rel = jnp.linalg.norm(rhs - matvec64(x)) / rhs_norm
+            return c + 1, x, rel
+
+        _, x, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros_like(rhs),
+                         jnp.asarray(jnp.inf, dtype=rhs.dtype)))
+        return x
+
+    return lax.custom_linear_solve(matvec64, b, solve, symmetric=True)
+
+
+def jax_gmres_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                    b: JaxArray, pattern=None, rtol: float = 1e-10,
+                    max_iters: int | None = None, restart: int = 20
+                    ) -> JaxArray:
+    """Mixed-precision GMRES (nonsymmetric counterpart of
+    :func:`jax_cg_mixed`): f64 refinement around an f32 inner
+    two-level- (or Jacobi-) preconditioned GMRES."""
+    if K_data.dtype != jnp.float64:
+        if pattern is not None:
+            return jax_gmres_two_level(K_data, sparsity, b, pattern,
+                                       rtol=rtol, max_iters=max_iters,
+                                       restart=restart)
+        return jax_gmres(K_data, sparsity, b, rtol=rtol,
+                         max_iters=max_iters, restart=restart)
+
+    unique64, matvec64 = _bcsr_operator(K_data, sparsity)
+    unique32 = unique64.astype(jnp.float32)
+    K32 = BCSR((unique32, sparsity.col_indices, sparsity.indptr),
+               shape=(sparsity.n, sparsity.n))
+
+    def matvec32(x):
+        return K32 @ x
+
+    diag32 = unique32[sparsity.diag_idx]
+    if pattern is not None:
+        from cmad_tpu.fem.two_level import make_two_level_preconditioner
+
+        rows = coo_rows_from_indptr(sparsity)
+        precon32, precon32_T = make_two_level_preconditioner(
+            pattern, unique32, rows, sparsity.col_indices, diag32,
+            symmetric=False)
+    else:
+        precon32 = precon32_T = lambda x: x / diag32
+    if max_iters is None:
+        max_iters = 10 * b.shape[0]
+    m = max(1, int(max_iters) // _MIXED_IR_CYCLES)
+    # rtol may be a traced override (adaptive forcing terms)
+    inner_rtol = jnp.maximum(jnp.asarray(rtol, dtype=jnp.float32),
+                             _F32_INNER_RTOL)
+
+    def ir_solve(op64, op32, M32, rhs):
+        rhs_norm = jnp.linalg.norm(rhs)
+
+        def cond(state):
+            c, _x, rel = state
+            return jnp.logical_and(c < _MIXED_IR_CYCLES, rel > rtol)
+
+        def body(state):
+            c, x, _rel = state
+            r = rhs - op64(x)
+            # unit-normalized inner rhs (see jax_cg_mixed body): GMRES's
+            # _safe_normalize declares breakdown below f32 eps scale
+            s = jnp.linalg.norm(r)
+            r32 = (r / jnp.where(s > 0.0, s, 1.0)).astype(jnp.float32)
+            dx, _ = jax.scipy.sparse.linalg.gmres(
+                op32, r32, M=M32, tol=inner_rtol,
+                maxiter=m, restart=restart, solve_method="incremental")
+            x = x + s * dx.astype(jnp.float64)
+            rel = jnp.linalg.norm(rhs - op64(x)) / rhs_norm
+            return c + 1, x, rel
+
+        _, x, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros_like(rhs),
+                         jnp.asarray(jnp.inf, dtype=rhs.dtype)))
+        return x
+
+    def vecmat32(y):
+        # transpose operator of the f32 matvec (x @ BCSR has no kernel)
+        x0 = jnp.zeros(sparsity.n, dtype=jnp.float32)
+        return jax.linear_transpose(matvec32, x0)(y)[0]
+
+    return lax.custom_linear_solve(
+        matvec64, b,
+        lambda _mv, rhs: ir_solve(matvec64, matvec32, precon32, rhs),
+        transpose_solve=lambda vecmat, rhs: ir_solve(
+            vecmat, vecmat32, precon32_T, rhs),
+        symmetric=False)
+
+
 def jax_cg_with_iters(K_data, sparsity, b, rtol=1e-10, max_iters=None):
     """CG exposing the iteration count (diagnostics; no AD wrapper)."""
     _, matvec, precon = _jacobi_setup(K_data, sparsity)

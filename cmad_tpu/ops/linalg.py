@@ -68,3 +68,42 @@ def solve_dense(A: JaxArray, b: JaxArray) -> JaxArray:
     if A.shape[-1] <= SMALL_SOLVE_MAX_N:
         return small_solve(A, b)
     return jnp.linalg.solve(A, b)
+
+
+def det3(A: JaxArray) -> JaxArray:
+    """Closed-form determinant of (..., 3, 3) matrices.
+
+    Elementwise-only (no LuDecomposition custom call), so it compiles
+    for every dtype on TPU — including the f64 path, where XLA's LU
+    custom call only implements F32/C64.
+    """
+    return (A[..., 0, 0] * (A[..., 1, 1] * A[..., 2, 2]
+                            - A[..., 1, 2] * A[..., 2, 1])
+            - A[..., 0, 1] * (A[..., 1, 0] * A[..., 2, 2]
+                              - A[..., 1, 2] * A[..., 2, 0])
+            + A[..., 0, 2] * (A[..., 1, 0] * A[..., 2, 1]
+                              - A[..., 1, 1] * A[..., 2, 0]))
+
+
+def inv3(A: JaxArray) -> JaxArray:
+    """Closed-form (adjugate / det) inverse of (..., 3, 3) matrices.
+
+    Same TPU rationale as :func:`det3`; also ~10x faster than the LU
+    path for batched 3x3 geometry Jacobians.
+    """
+    c00 = A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1]
+    c01 = A[..., 0, 2] * A[..., 2, 1] - A[..., 0, 1] * A[..., 2, 2]
+    c02 = A[..., 0, 1] * A[..., 1, 2] - A[..., 0, 2] * A[..., 1, 1]
+    c10 = A[..., 1, 2] * A[..., 2, 0] - A[..., 1, 0] * A[..., 2, 2]
+    c11 = A[..., 0, 0] * A[..., 2, 2] - A[..., 0, 2] * A[..., 2, 0]
+    c12 = A[..., 0, 2] * A[..., 1, 0] - A[..., 0, 0] * A[..., 1, 2]
+    c20 = A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0]
+    c21 = A[..., 0, 1] * A[..., 2, 0] - A[..., 0, 0] * A[..., 2, 1]
+    c22 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c10, c11, c12], axis=-1),
+        jnp.stack([c20, c21, c22], axis=-1),
+    ], axis=-2)
+    det = det3(A)
+    return adj / det[..., None, None]
