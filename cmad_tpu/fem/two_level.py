@@ -40,7 +40,6 @@ from jax.tree_util import register_pytree_node_class
 
 from cmad_tpu.typing import JaxArray
 
-_RIDGE = 1e-8          # diagonal ridge on the equilibrated A_c
 _NULL_COL_REL = 1e-8   # relative diagonal floor below which a coarse
                        # column is deflated (dropped) instead of scaled
 
@@ -138,16 +137,34 @@ def build_two_level_pattern_mixed(coords: np.ndarray,
 
 
 def _aggregate_nodes(coords: np.ndarray, target: int):
-    """Regular bounding-box binning -> (agg_of_node, n_aggs)."""
+    """Regular bounding-box binning -> (agg_of_node, n_aggs).
+
+    Axes whose span is negligible relative to the largest (near-planar /
+    near-linear meshes) get a single bin: normalizing by a ~0 span would
+    blow the per-axis division counts up by ~1e10, overflow the flat bin
+    id, and silently merge far-apart nodes into one aggregate.
+    """
     n_nodes = coords.shape[0]
     n_aggs_target = max(1, n_nodes // target)
     lo, hi = coords.min(axis=0), coords.max(axis=0)
-    span = np.maximum(hi - lo, 1e-30)
-    rel = span / span.prod() ** (1.0 / 3.0)
-    divs = np.maximum(1, np.round(rel * n_aggs_target ** (1.0 / 3.0))
-                      ).astype(int)
-    bins = [np.clip(((coords[:, k] - lo[k]) / span[k] * divs[k]).astype(int),
-                    0, divs[k] - 1) for k in range(3)]
+    span = hi - lo
+    max_span = max(span.max(), 1e-30)
+    active = span > 1e-9 * max_span
+    n_active = int(active.sum())
+    divs = np.ones(3, dtype=int)
+    if n_active:
+        rel = np.where(active, span / max_span, 0.0)
+        geo = rel[active].prod() ** (1.0 / n_active)
+        base = (n_aggs_target ** (1.0 / n_active)) / geo
+        divs[active] = np.maximum(1, np.round(rel[active] * base))
+        # cap the product near the target so degenerate aspect ratios
+        # cannot explode the bin count
+        while divs.prod() > 8 * n_aggs_target:
+            divs[np.argmax(divs)] = max(1, divs.max() // 2)
+    safe_span = np.where(active, span, 1.0)
+    bins = [np.clip(((coords[:, k] - lo[k]) / safe_span[k]
+                     * divs[k]).astype(np.int64), 0, divs[k] - 1)
+            for k in range(3)]
     raw_id = (bins[0] * divs[1] + bins[1]) * divs[2] + bins[2]
     _, agg_of_node = np.unique(raw_id, return_inverse=True)
     return agg_of_node, int(agg_of_node.max()) + 1
@@ -175,13 +192,15 @@ def _centered_rbm_blocks(coords, agg_of_node, n_aggs, dtype):
 
 
 def _normalize_and_mask(P_vals, agg_of_dof, n_aggs, prescribed_indices):
-    """Per-aggregate column normalization (A_c scaling; the traced
-    ridge covers rank-deficient aggregates) + zero prescribed rows so
-    the coarse space respects the embedded BCs. In-place."""
-    for a in range(n_aggs):
-        rows = np.nonzero(agg_of_dof == a)[0]
-        norms = np.linalg.norm(P_vals[rows], axis=0)
-        P_vals[rows] /= np.where(norms > 1e-12, norms, 1.0)
+    """Per-aggregate column normalization (A_c scaling; rank-deficient
+    aggregate slots are handled by the traced null-column deflation in
+    make_two_level_preconditioner) + zero prescribed rows so the coarse
+    space respects the embedded BCs. In-place; vectorized (one
+    np.add.at sweep instead of an O(n_aggs * n_dofs) python loop)."""
+    sq = np.zeros((n_aggs, P_vals.shape[1]), dtype=P_vals.dtype)
+    np.add.at(sq, agg_of_dof, P_vals**2)
+    norms = np.sqrt(sq)
+    P_vals /= np.where(norms > 1e-12, norms, 1.0)[agg_of_dof]
     P_vals[np.asarray(prescribed_indices, dtype=np.intp)] = 0.0
 
 
@@ -207,6 +226,12 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
                   rows: JaxArray, cols: JaxArray) -> JaxArray:
     """A_c = P^T K P from K's deduped COO triplet, dense (m, m)."""
     m, w = pattern.coarse_dim, pattern.width
+    if m > 24000:
+        raise ValueError(
+            f"two-level coarse space has {m} dofs — the dense (m, m) "
+            "coarse factorization would need "
+            f"{m * m * 8 / 1e9:.1f} GB; raise 'aggregate nodes' in the "
+            "preconditioner spec to shrink the coarse space")
     P_vals = jnp.asarray(pattern.P_vals, dtype=unique.dtype)
     agg = jnp.asarray(pattern.agg_of_dof)
     Pi = P_vals[rows]                            # (nnz, w)
@@ -217,10 +242,13 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
     k = jnp.arange(w, dtype=jnp.int32)
     rows_c = (w * ai)[:, None, None] + k[None, :, None]
     cols_c = (w * aj)[:, None, None] + k[None, None, :]
-    flat = jnp.zeros(m * m, dtype=unique.dtype)
-    flat = flat.at[(rows_c * m + cols_c).reshape(-1)].add(
-        block.reshape(-1))
-    return flat.reshape(m, m)
+    # scatter with 2-D indices: the flattened rows_c * m + cols_c form
+    # overflows int32 once m exceeds ~46k coarse dofs
+    shape = block.shape
+    ri = jnp.broadcast_to(rows_c, shape).reshape(-1)
+    ci = jnp.broadcast_to(cols_c, shape).reshape(-1)
+    A_c = jnp.zeros((m, m), dtype=unique.dtype)
+    return A_c.at[ri, ci].add(block.reshape(-1))
 
 
 def make_two_level_preconditioner(pattern: TwoLevelPattern,
@@ -250,7 +278,11 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
                   1.0 / jnp.sqrt(jnp.where(keep, d_c, 1.0)),
                   0.0)
     A_s = (s[:, None] * A_c) * s[None, :]
-    A_s = A_s + jnp.diag(jnp.where(keep, _RIDGE, 1.0)
+    # dtype-scaled ridge: a fixed 1e-8 sits below f32 eps (~1.2e-7) and
+    # is a no-op on the TPU f32 path; 10*eps regularizes the unit
+    # diagonal in whatever precision the solve runs in
+    ridge = 10.0 * jnp.finfo(A_s.dtype).eps
+    A_s = A_s + jnp.diag(jnp.where(keep, ridge, 1.0)
                          .astype(A_s.dtype))
 
     if symmetric:
