@@ -43,6 +43,7 @@ from cmad_tpu.io.writers import (
     write_opt_history,
     write_opt_status,
     write_resolved_deck,
+    write_solver_log,
 )
 
 
@@ -72,7 +73,7 @@ def run_primal_fe(deck_path: Path) -> int:
                 fe_quasistatic_drive_host,
             )
 
-            state, _log = fe_quasistatic_drive_host(
+            state, solver_log = fe_quasistatic_drive_host(
                 bundle.fe_problem, bundle.t_schedule.tolist(),
                 nonlinear_solver_settings=_nls_settings(bundle),
                 linear_solver_settings=bundle.resolved["linear solver"])
@@ -85,10 +86,18 @@ def run_primal_fe(deck_path: Path) -> int:
                 nonlinear_solver_settings=_nls_settings(bundle),
                 linear_solver_settings=bundle.resolved["linear solver"],
                 qoi=None if write_qoi is not None else qoi)
+            # the scanned Newton cannot self-report (no host callbacks
+            # on TPU); verify the recorded history's true residuals
+            from cmad_tpu.fem.driver import fe_history_solver_log
+
+            solver_log = fe_history_solver_log(
+                bundle.fe_problem, state, bundle.t_schedule.tolist(),
+                nonlinear_solver_settings=_nls_settings(bundle))
 
     if "output" not in bundle.resolved:
         return 0
     out_dir, prefix, _fmt = resolve_output(bundle.resolved)
+    write_solver_log(out_dir, prefix, solver_log)
     output = bundle.resolved["output"]
     if output.get("write exodus", True):
         plan = resolve_fe_output_plan(output, bundle.fe_problem)

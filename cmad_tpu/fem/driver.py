@@ -76,6 +76,75 @@ def build_fe_quasistatic_trajectory(
     return trajectory
 
 
+def fe_history_solver_log(fe_problem: FEProblem, state: FEState,
+                          t_schedule: Sequence[float],
+                          nonlinear_solver_settings: dict | None = None
+                          ) -> list[dict[str, float]]:
+    """Per-step converged-residual verification of a recorded history.
+
+    The scanned trajectory cannot surface convergence (the axon TPU
+    platform supports no host callbacks inside traces), so a silently
+    cap-limited Newton could otherwise ship a wrong history with no
+    signal (the round-1 benchmark postmortem's "silently hitting the
+    iteration cap" class). This recomputes the TRUE embedded residual at
+    every recorded step — one residual-only assembly each — and warns
+    when a step sits far above its tolerances. Feeds ``solver.json``.
+    """
+    import warnings
+
+    import jax
+
+    from cmad_tpu.fem.assembly import assemble_global
+    from cmad_tpu.fem.sparse_solve import (
+        _embedded_bc_enforce,
+        _embedded_residual,
+    )
+
+    nls = {**default_nonlinear_settings(),
+           **(nonlinear_solver_settings or {})}
+    params = params_by_block_from_models(fe_problem)
+    fe_arrays = fe_problem.kernel_arrays
+    presc_idx = fe_arrays.prescribed_indices
+
+    @jit
+    def residual_norm(U, U_prev, xi_prev, t, presc_vals):
+        K_bcoo, R, _ = assemble_global(
+            fe_problem, fe_arrays, params, U, U_prev, t,
+            xi_prev_by_block=xi_prev)
+        _, K_ii = _embedded_bc_enforce(K_bcoo, presc_idx)
+        r = _embedded_residual(R, K_bcoo, U, presc_idx, presc_vals, K_ii)
+        return jnp.linalg.norm(r)
+
+    dtype = config.real_dtype()
+    log: list[dict[str, float]] = []
+    for i, t in enumerate(list(t_schedule)[1:], start=1):
+        t = float(t)
+        presc_vals = jnp.asarray(
+            fe_problem.dof_map.evaluate_prescribed_values(
+                fe_arrays.dbc_arrays, t))
+        xi_prev = {b: jnp.asarray(state.xi_at(i - 1, b))
+                   for b in fe_problem.models_by_block}
+        U_prev = jnp.asarray(state.U_at(i - 1), dtype=dtype)
+        norm = float(residual_norm(
+            jnp.asarray(state.U_at(i), dtype=dtype), U_prev,
+            xi_prev, t, presc_vals))
+        # the step's starting residual, for the relative check
+        norm0 = float(residual_norm(U_prev, U_prev, xi_prev, t,
+                                    presc_vals))
+        log.append({"final_residual": norm, "initial_residual": norm0})
+        if (norm >= 100.0 * float(nls["abs tol"])
+                and norm >= 100.0 * float(nls["rel tol"]) * norm0):
+            warnings.warn(
+                f"recorded step {i} (t={t}) has true residual "
+                f"||R|| = {norm:.3e} (||R0|| = {norm0:.3e}), far above "
+                f"abs tol {float(nls['abs tol']):.1e} / rel "
+                f"{float(nls['rel tol']):.1e} — the scanned Newton "
+                "likely hit its iteration cap; the history is suspect",
+                RuntimeWarning, stacklevel=2)
+    jax.block_until_ready(jnp.zeros(()))
+    return log
+
+
 def fe_quasistatic_drive(fe_problem: FEProblem,
                          t_schedule: Sequence[float],
                          U_init: np.ndarray | None = None,

@@ -400,9 +400,17 @@ def fe_newton_solve_host(fe_problem: FEProblem,
         lss_frozen = freeze_settings(lss)
 
         def solve(K_data, fe_arrays, rhs, rtol_k):
-            return solve_linear(K_data, fe_problem, fe_arrays, rhs,
-                                thaw_settings(lss_frozen),
-                                rtol_override=rtol_k)
+            dU = solve_linear(K_data, fe_problem, fe_arrays, rhs,
+                              thaw_settings(lss_frozen),
+                              rtol_override=rtol_k)
+            # attained linear quality (one extra matvec): surfaced so a
+            # cap-truncated Krylov solve can never pass silently
+            _, matvec = _bcsr_operator(
+                K_data, fe_problem.kernel_arrays.embedded_sparsity)
+            attained = (jnp.linalg.norm(matvec(dU) - rhs)
+                        / jnp.maximum(jnp.linalg.norm(rhs),
+                                      jnp.finfo(rhs.dtype).tiny))
+            return dU, attained
 
         cache["assemble"] = jax.jit(assemble)
         cache["solve"] = jax.jit(solve)
@@ -414,6 +422,7 @@ def fe_newton_solve_host(fe_problem: FEProblem,
     norm = norm0
     it = 0
     stagnant = 0
+    worst_linear = 0.0
     adaptive = bool(lss.get("adaptive rtol", False)) \
         and lss["type"] in ("cg", "gmres")
     norm_hist = norm0
@@ -427,7 +436,19 @@ def fe_newton_solve_host(fe_problem: FEProblem,
         else:
             rtol_k = jnp.asarray(lss["rtol"], dtype=config.real_dtype())
         norm_hist = norm
-        dU = cache["solve"](K_data, fe_arrays, -r, rtol_k)
+        dU, lin_attained = cache["solve"](K_data, fe_arrays, -r, rtol_k)
+        lin_attained = float(lin_attained)
+        worst_linear = max(worst_linear, lin_attained)
+        requested = float(rtol_k) if lss["type"] != "direct" else 1e-12
+        if lin_attained > max(100.0 * requested, 1e-4):
+            import warnings
+
+            warnings.warn(
+                f"linear solver ({lss['type']}) at t={t} attained "
+                f"relative residual {lin_attained:.3e} vs requested "
+                f"{requested:.1e} — iteration cap or preconditioner "
+                "too weak; the Newton step quality is degraded",
+                RuntimeWarning, stacklevel=2)
         # backtracking line search on ||r|| (host-observed): a full
         # Newton step on a near-Tresca (Hosford a=100) tangent can
         # overshoot the yield surface and bounce — without damping the
@@ -489,7 +510,7 @@ def fe_newton_solve_host(fe_problem: FEProblem,
             f", rel {float(nls['rel tol']):.1e} x ||R0|| = {norm0:.3e})"
             " — the step is likely unconverged; check the linear-solver"
             " configuration", RuntimeWarning, stacklevel=2)
-    return U, xi, it, norm
+    return U, xi, it, norm, worst_linear
 
 
 def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
@@ -513,7 +534,7 @@ def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
     cache: dict = {}
     log = []
     for t in [float(x) for x in t_schedule[1:]]:
-        U, xi_solved, iters, res = fe_newton_solve_host(
+        U, xi_solved, iters, res, worst_linear = fe_newton_solve_host(
             fe_problem, params, U, xi, t=t,
             nonlinear_solver_settings=nonlinear_solver_settings,
             linear_solver_settings=linear_solver_settings,
@@ -521,5 +542,6 @@ def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
         xi = {**xi, **xi_solved}
         state.append(np.asarray(U), {b: np.asarray(v)
                                      for b, v in xi.items()}, t_new=t)
-        log.append({"iters": int(iters), "final_residual": float(res)})
+        log.append({"iters": int(iters), "final_residual": float(res),
+                    "worst_linear_rel_residual": worst_linear})
     return state, log

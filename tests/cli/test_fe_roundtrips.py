@@ -90,6 +90,13 @@ def test_fe_primal_writes_trajectory(tmp_path, cube_exo):
     # analytic uniaxial J2+Voce flow stress at 0.3% strain
     assert abs(cauchy[-1, :, 0].mean() - 207.6942) < 1e-3
 
+    # per-step solver quality is surfaced (reference writes solver.json
+    # per step via io/writers.py:114; the scan driver verifies the
+    # recorded history's true residuals post hoc)
+    log = json.loads((out / "solver.json").read_text())
+    assert len(log) == 4
+    assert all(s["final_residual"] < 1e-8 for s in log)
+
 
 def test_fe_objective_gradient_roundtrip(tmp_path, cube_exo):
     # truth run produces displacement data
