@@ -423,6 +423,8 @@ def fe_newton_solve_host(fe_problem: FEProblem,
     it = 0
     stagnant = 0
     worst_linear = 0.0
+    best = (U, r, K_data, xi, norm)
+    best_norm = norm
     adaptive = bool(lss.get("adaptive rtol", False)) \
         and lss["type"] in ("cg", "gmres")
     norm_hist = norm0
@@ -449,18 +451,20 @@ def fe_newton_solve_host(fe_problem: FEProblem,
                 f"{requested:.1e} — iteration cap or preconditioner "
                 "too weak; the Newton step quality is degraded",
                 RuntimeWarning, stacklevel=2)
-        # backtracking line search on ||r|| (host-observed): a full
-        # Newton step on a near-Tresca (Hosford a=100) tangent can
-        # overshoot the yield surface and bounce — without damping the
-        # host loop stagnates at rel ~5e-3 on the notch where the scan
-        # driver (cubic line search) converges. Armijo with halving;
-        # each probe reuses the full (r, K, xi) assembly as its
-        # accepted-state aux (same trick as util/line_search.py).
+        # NON-MONOTONE backtracking line search on ||r||: Armijo with
+        # halving, but when no probe decreases the residual, accept the
+        # FULL step anyway (unless it blows up >10x the best norm seen).
+        # The merit ||r|| is nonsmooth at the elastic/plastic switch and
+        # transiently INCREASES on the convergent path — measured on
+        # the Hosford notch step 1 the traced Newton goes
+        # 3.96e-2 -> 4.00e-2 -> 5.0e-3 -> ... -> 1.3e-10; a monotone
+        # guard kills the solve exactly at that plateau. Each probe
+        # reuses its full (r, K, xi) assembly as the accepted-state aux.
         ls_host = {**DEFAULT_LINE_SEARCH_SETTINGS,
                    **nls.get("line search", {})}
         max_probes = max(1, int(ls_host.get("max evals", 5)))
         alpha = 1.0
-        accepted = best = None
+        accepted = full_trial = least_bad = None
         for _probe in range(max_probes):
             U_trial = U + alpha * dU
             r_trial, K_trial, xi_trial = cache["assemble"](
@@ -468,33 +472,41 @@ def fe_newton_solve_host(fe_problem: FEProblem,
                 presc_vals)
             norm_trial = float(jnp.linalg.norm(r_trial))  # host sync
             trial = (U_trial, r_trial, K_trial, xi_trial, norm_trial)
-            if best is None or norm_trial < best[4]:
-                best = trial
+            if full_trial is None:
+                full_trial = trial
+            if least_bad is None or norm_trial < least_bad[4]:
+                least_bad = trial
             if norm_trial <= (1.0 - 1e-4 * alpha) * norm:
                 accepted = trial
                 break
             alpha *= 0.5
         if accepted is None:
-            accepted = best  # least-bad probe; stagnation guard decides
+            accepted = (full_trial
+                        if full_trial[4] <= 10.0 * best_norm
+                        else least_bad)
         U_trial, r_trial, K_trial, xi_trial, norm_trial = accepted
         it += 1
         if nls["print convergence"]:
             print(f" > ({it}) Newton: abs ||R|| = {norm_trial:.6e} "
                   f"rel ||R|| = {norm_trial / norm0:.6e}")
-        # floating-point floor detection: the host loop sees true norms,
-        # so it can stop once iterations stop paying (the traced solver
-        # cannot without a device round-trip)
-        if norm_trial >= 0.99 * norm:
-            stagnant += 1
-            if norm_trial < norm:
-                U, r, K_data, xi, norm = (U_trial, r_trial, K_trial,
-                                          xi_trial, norm_trial)
-            if stagnant >= 2:
-                break
-        else:
+        # always move (non-monotone); keep the best state seen so the
+        # cap/floor exit can never return worse than the best iterate
+        U, r, K_data, xi, norm = (U_trial, r_trial, K_trial, xi_trial,
+                                  norm_trial)
+        if norm < 0.99 * best_norm:
+            best = (U, r, K_data, xi, norm)
+            best_norm = norm
             stagnant = 0
-            U, r, K_data, xi, norm = (U_trial, r_trial, K_trial,
-                                      xi_trial, norm_trial)
+        else:
+            # floating-point floor / genuine stagnation detection: the
+            # host loop sees true norms, so it can stop once iterations
+            # stop paying — but only after enough non-improving moves to
+            # ride out the transient plateaus of nonsmooth plasticity
+            stagnant += 1
+            if stagnant >= 6:
+                break
+    if best_norm < norm:
+        U, r, K_data, xi, norm = best
 
     # a stagnation/iteration-cap exit far above BOTH tolerances means
     # the returned state is unconverged (e.g. a preconditioner too weak
