@@ -23,7 +23,9 @@ os.environ.setdefault("CMAD_X64", "0")  # float32 on the accelerator
 REPO_ROOT = Path(__file__).resolve().parent
 
 
-def measure_ours(batch: int = 1_000_000, reps: int = 5):
+def measure_ours(batch: int | None = None, reps: int = 5):
+    if batch is None:
+        batch = int(os.environ.get("CMAD_BENCH_BATCH", 1_000_000))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,43 +60,63 @@ def measure_ours(batch: int = 1_000_000, reps: int = 5):
     # re-uploaded through the tunnel on every dispatch
     pv = jax.tree.map(lambda x: jnp.asarray(x, dtype), params.values)
 
-    def timed(fn, xi0, gu, gu0, n_reps):
+    def timed(fn, xi0, gu, gu0, n_reps, inner=8):
         # Timing rules for this platform: block_until_ready() does NOT
         # reliably synchronize through the device tunnel, so force a
-        # host readback as the barrier. Chain xi through the calls so
-        # successive dispatches cannot be elided as duplicates.
-        # burn-in: compile + device warmup (the first post-compile round
-        # of dispatches runs ~4x slow through the tunnel)
-        xi, sigma = fn(xi0, gu, gu0, pv)
+        # host readback as the barrier. The kernel is chained ``inner``
+        # times INSIDE one jit (lax.scan carrying xi) so per-dispatch
+        # tunnel latency (~10 ms) is amortized and the number measures
+        # device throughput, not dispatch overhead; chaining also stops
+        # XLA from eliding duplicate dispatches.
+        import jax as _jax
+        from jax import lax as _lax
+
+        @_jax.jit
+        def chained(xi0, gu, gu0, pv):
+            def one(xi, _):
+                xi_new, sigma = fn(xi, gu, gu0, pv)
+                return xi_new, sigma
+
+            xi_fin, sigmas = _lax.scan(one, xi0, None, length=inner)
+            return xi_fin, sigmas[-1]
+
+        xi, sigma = chained(xi0, gu, gu0, pv)
         _ = float(jnp.sum(sigma))  # compile barrier
         best = float("inf")
         for _round in range(3):  # best-of-3: tunnel warmup fades over ~1s
             t0 = time.perf_counter()
             xi_c = xi0
             for _ in range(n_reps):
-                xi_c, sigma = fn(xi_c, gu, gu0, pv)
-            _ = float(jnp.sum(sigma)) + float(jnp.sum(xi_c))  # readback
+                xi_c, sigma = chained(xi_c, gu, gu0, pv)
+            _ = float(jnp.sum(sigma)) + float(jnp.sum(xi_c[0]))  # readback
             best = min(best, time.perf_counter() - t0)
-        return xi0.shape[0] * n_reps / best, xi
+        return xi0.shape[0] * inner * n_reps / best, xi
 
-    ups_generic, xi = timed(step, xi_prev, grad_u, grad_u_prev, reps)
+    ups_generic, _ = timed(step, xi_prev, grad_u, grad_u_prev, reps,
+                           inner=2)
+    # single un-chained application for the residual sanity check (the
+    # chained timing state accumulates the strain increment repeatedly)
+    xi, _sigma = jax.jit(step)(xi_prev, grad_u, grad_u_prev, pv)
 
-    # the production dispatch for this workload: J2+Voce auto-specializes
-    # to the analytic radial return (ops/return_map.py — the same
-    # dispatch FE COUPLED assembly uses), Pallas-scheduled on TPU. It is
-    # fast enough that per-dispatch latency dominates at 1M points —
-    # amortize with a 4x larger batch
+    # THE HEADLINE: the production dispatch for this workload. J2+Voce
+    # auto-specializes to the analytic radial return in its XLA-fused
+    # form — exactly what FE COUPLED assembly runs
+    # (global_residual.py _build_local_solve, prefer_pallas=False).
+    radial = make_j2_radial_return(params)
+    gu4 = jnp.tile(grad_u, (4, 1, 1))
+    gu04 = jnp.tile(grad_u_prev, (4, 1, 1))
+    xi4 = jnp.tile(xi_prev[:, :7], (4, 1))
+    ups, _ = timed(radial, xi4, gu4, gu04, reps)
+
+    # the hand-scheduled Pallas variant, reported separately (it is NOT
+    # the production dispatch; kept as the kernel-engineering record)
+    ups_pallas = None
     if jax.default_backend() == "tpu":
         from cmad_tpu.ops.pallas_radial_return import (
             make_pallas_j2_radial_return,
         )
-        radial = make_pallas_j2_radial_return(params)
-    else:
-        radial = make_j2_radial_return(params)
-    gu4 = jnp.tile(grad_u, (4, 1, 1))
-    gu04 = jnp.tile(grad_u_prev, (4, 1, 1))
-    xi4 = jnp.tile(xi_prev[:, :7], (4, 1))
-    ups, _ = timed(radial, xi4, gu4, gu04, 2 * reps)
+        radial_pl = make_pallas_j2_radial_return(params)
+        ups_pallas, _ = timed(radial_pl, xi4, gu4, gu04, reps)
 
     # convergence sanity: residual at the returned state
     C = model.C_batched(xi, xi_prev, params.values,
@@ -103,7 +125,7 @@ def measure_ours(batch: int = 1_000_000, reps: int = 5):
     frac_plastic = float((np.asarray(xi[:, 6]) > 0).mean())
 
     backend = jax.default_backend()
-    return ups, ups_generic, max_res, frac_plastic, backend
+    return ups, ups_generic, ups_pallas, max_res, frac_plastic, backend
 
 
 def _fields(grad_u):
@@ -191,6 +213,33 @@ def measure_notch_wall():
     return warm, ref_wall
 
 
+# Minimum HBM traffic per radial-return update, f32 packed layout:
+# reads xi_prev (7) + grad_u (9) + grad_u_prev (9) = 25 floats,
+# writes xi (7) + sigma (9) = 16 floats -> 41 * 4 B. The kernel is
+# memory-bound (arithmetic intensity ~2 flop/B), so the HBM roofline
+# is the honest ceiling.
+_BYTES_PER_UPDATE = 41 * 4
+
+# peak HBM bandwidth by TPU generation (public spec sheets), bytes/s
+_HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def _hbm_bw_for_device():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for key, bw in _HBM_BW.items():
+        if key.lower() in kind.lower():
+            return bw, kind
+    return None, kind
+
+
 def main() -> None:
     baseline_file = REPO_ROOT / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -198,12 +247,16 @@ def main() -> None:
     else:
         baseline = None
 
-    ups, ups_generic, max_res, frac_plastic, backend = measure_ours()
+    (ups, ups_generic, ups_pallas, max_res, frac_plastic,
+     backend) = measure_ours()
     notch = None
     try:
         notch = measure_notch_wall()
     except Exception:
         pass
+
+    bw, device_kind = _hbm_bw_for_device()
+    roofline_ups = bw / _BYTES_PER_UPDATE if bw else None
 
     result = {
         "metric": "ip_stress_updates_per_sec",
@@ -211,11 +264,19 @@ def main() -> None:
         "unit": "updates/s",
         "vs_baseline": round(ups / baseline, 2) if baseline else None,
         "backend": backend,
-        "dispatch": "analytic radial return (production default for "
-                    "J2+Voce; FE COUPLED assembly uses the same dispatch)",
+        "device_kind": device_kind,
+        "dispatch": "analytic radial return, XLA-fused — the exact "
+                    "kernel FE COUPLED assembly dispatches "
+                    "(prefer_pallas=False)",
         "generic_newton_updates_per_sec": round(ups_generic, 1),
         "generic_newton_vs_baseline": (round(ups_generic / baseline, 2)
                                        if baseline else None),
+        "pallas_updates_per_sec": (round(ups_pallas, 1)
+                                   if ups_pallas else None),
+        "bytes_per_update": _BYTES_PER_UPDATE,
+        "hbm_gbps_sustained": round(ups * _BYTES_PER_UPDATE / 1e9, 1),
+        "pct_hbm_roofline": (round(100.0 * ups / roofline_ups, 1)
+                             if roofline_ups else None),
         "max_residual": max_res,
         "frac_plastic": frac_plastic,
         "baseline": baseline,
