@@ -114,11 +114,39 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
     """Dispatch on settings['type'] (direct | cg | gmres) and the
     preconditioner spec (jacobi | block). ``rtol_override`` (traced)
     replaces the static rtol for the iterative arms — the hook for
-    inexact-Newton forcing terms."""
+    inexact-Newton forcing terms.
+
+    ``equilibrate`` (default 'auto': on for mixed multi-field layouts):
+    symmetric diagonal equilibration as a change of variables around
+    ANY arm. Mixed u-p plastic tangents carry cond ~ 3.5e12 from the
+    ~1e12 diagonal spread between pressure-stabilization and E-scaled
+    displacement rows — unsolvable in f32 by any method (even SuperLU
+    attained 0.55 relative residual); equilibrated the measured cond is
+    ~1.6e2 and ordinary f32 Krylov converges. This is an accuracy
+    transformation, not preconditioning: in floating point it raises
+    the attainable accuracy, which an (exact-arithmetic-equivalent)
+    Jacobi preconditioner cannot.
+    """
     sparsity = fe_arrays.embedded_sparsity
     kind = settings["type"]
+
+    equil = settings.get("equilibrate", "auto")
+    if equil == "auto":
+        equil = fe_arrays.block_sparsity is not None
+    row_scale = None
+    s_eq = None
+    if equil:
+        from cmad_tpu.fem.sparse_solve import equilibrate_data
+
+        K_data, s_eq = equilibrate_data(K_data, sparsity)
+        rhs = s_eq * rhs
+        row_scale = 1.0 / s_eq  # coarse-basis correction for two_level
+
+    def _finish(x):
+        return s_eq * x if s_eq is not None else x
+
     if kind == "direct":
-        return scipy_lu(K_data, sparsity, rhs)
+        return _finish(scipy_lu(K_data, sparsity, rhs))
 
     rtol = settings["rtol"] if rtol_override is None else rtol_override
     precon_spec = settings.get("preconditioner", {"type": "jacobi"})
@@ -135,57 +163,59 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
             pattern = get_two_level_pattern(
                 fe_problem, precon_spec.get("aggregate nodes", 48))
         if kind == "cg":
-            return jax_cg_mixed(K_data, sparsity, rhs, rtol=rtol,
-                                max_iters=settings["max iters"],
-                                precon=precon, pattern=pattern,
-                                degree=precon_spec.get("degree", 3))
+            return _finish(jax_cg_mixed(
+                K_data, sparsity, rhs, rtol=rtol,
+                max_iters=settings["max iters"], precon=precon,
+                pattern=pattern, degree=precon_spec.get("degree", 3),
+                row_scale=row_scale))
         if kind == "gmres":
-            return jax_gmres_mixed(K_data, sparsity, rhs, pattern=pattern,
-                                   rtol=rtol,
-                                   max_iters=settings["max iters"],
-                                   restart=settings["restart"])
+            return _finish(jax_gmres_mixed(
+                K_data, sparsity, rhs, pattern=pattern, rtol=rtol,
+                max_iters=settings["max iters"],
+                restart=settings["restart"], row_scale=row_scale))
         raise ValueError(
             f"solve dtype 'mixed' supports cg/gmres, not {kind!r}")
 
     if kind == "cg":
         if precon == "jacobi":
-            return jax_cg(K_data, sparsity, rhs, rtol=rtol,
-                          max_iters=settings["max iters"])
+            return _finish(jax_cg(K_data, sparsity, rhs, rtol=rtol,
+                                  max_iters=settings["max iters"]))
         if precon == "chebyshev":
             from cmad_tpu.fem.sparse_solve import jax_cg_chebyshev
-            return jax_cg_chebyshev(K_data, sparsity, rhs, rtol=rtol,
-                                    max_iters=settings["max iters"],
-                                    degree=precon_spec.get("degree", 3))
+            return _finish(jax_cg_chebyshev(
+                K_data, sparsity, rhs, rtol=rtol,
+                max_iters=settings["max iters"],
+                degree=precon_spec.get("degree", 3)))
         if precon == "two_level":
             from cmad_tpu.fem.sparse_solve import jax_cg_two_level
             pattern = get_two_level_pattern(
                 fe_problem,
                 precon_spec.get("aggregate nodes", 48))
-            return jax_cg_two_level(K_data, sparsity, rhs, pattern,
-                                    rtol=rtol,
-                                    max_iters=settings["max iters"])
+            return _finish(jax_cg_two_level(
+                K_data, sparsity, rhs, pattern, rtol=rtol,
+                max_iters=settings["max iters"], row_scale=row_scale))
         raise ValueError(
             f"unknown cg preconditioner {precon!r}; this build supports "
             "'jacobi', 'chebyshev', and 'two_level' (no pyamg — use "
             "gmres + block for mixed-field preconditioning)")
     if kind == "gmres":
         if precon == "jacobi":
-            return jax_gmres(K_data, sparsity, rhs, rtol=rtol,
-                             max_iters=settings["max iters"],
-                             restart=settings["restart"])
+            return _finish(jax_gmres(K_data, sparsity, rhs, rtol=rtol,
+                                     max_iters=settings["max iters"],
+                                     restart=settings["restart"]))
         if precon == "two_level":
             from cmad_tpu.fem.sparse_solve import jax_gmres_two_level
             pattern = get_two_level_pattern(
                 fe_problem, precon_spec.get("aggregate nodes", 48))
-            return jax_gmres_two_level(K_data, sparsity, rhs, pattern,
-                                       rtol=rtol,
-                                       max_iters=settings["max iters"],
-                                       restart=settings["restart"])
+            return _finish(jax_gmres_two_level(
+                K_data, sparsity, rhs, pattern, rtol=rtol,
+                max_iters=settings["max iters"],
+                restart=settings["restart"], row_scale=row_scale))
         if precon == "block":
             if fe_arrays.block_sparsity is None:
                 raise ValueError(
                     "block preconditioner requires > 1 residual block")
-            return jax_block_gmres(
+            return _finish(jax_block_gmres(
                 K_data, sparsity, rhs, fe_arrays.block_sparsity,
                 coupling=precon_spec.get("coupling", "lower"),
                 diagonal_block=precon_spec.get("diagonal_block",
@@ -193,7 +223,7 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
                 inner=precon_spec.get("inner", "jacobi"),
                 degree=precon_spec.get("degree"),
                 rtol=rtol, max_iters=settings["max iters"],
-                restart=settings["restart"])
+                restart=settings["restart"]))
         raise ValueError(
             f"unknown gmres preconditioner {precon!r}; expected 'jacobi' "
             "or 'block'")

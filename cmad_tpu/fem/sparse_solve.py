@@ -269,6 +269,34 @@ def scipy_lu(K_data: JaxArray, sparsity: EmbeddedSparsity,
         symmetric=False)
 
 
+def equilibrate_data(K_data: JaxArray, sparsity: EmbeddedSparsity):
+    """Symmetric diagonal equilibration as a change of variables.
+
+    Returns ``(K_data_scaled, s)`` with ``dedup(K_data_scaled) =
+    S dedup(K_data) S`` for ``S = diag(s)``, ``s = 1/sqrt(|diag|)``.
+    Solve ``Ks y = s*b`` and recover ``x = s*y``.
+
+    Why: mixed u-p PLASTIC tangents carry a ~1e12 diagonal spread (the
+    pressure-stabilization rows scale as tau*h^2/mu against E-scaled
+    displacement rows) — cond(K) ~ 3.5e12, unsolvable in f32 by ANY
+    method (SuperLU attained 0.55 relative residual). Equilibration
+    drops the measured cond to ~1.6e2, after which ordinary f32 Krylov
+    converges. This is a floating-point accuracy transformation, not a
+    preconditioner: it raises the ATTAINABLE accuracy, which no
+    preconditioner (mathematically equivalent in exact arithmetic) can.
+    """
+    unique = jnp.zeros(sparsity.num_unique, dtype=K_data.dtype
+                       ).at[sparsity.segment_ids].add(K_data[sparsity.perm])
+    d = jnp.abs(unique[sparsity.diag_idx])
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, jnp.finfo(K_data.dtype).tiny))
+    rows_u = coo_rows_from_indptr(sparsity)
+    scale_sorted = (s[rows_u[sparsity.segment_ids]]
+                    * s[sparsity.col_indices[sparsity.segment_ids]])
+    K_scaled = jnp.zeros_like(K_data).at[sparsity.perm].set(
+        K_data[sparsity.perm] * scale_sorted)
+    return K_scaled, s
+
+
 # ----------------------------------------------------------------------
 # device-native Krylov
 # ----------------------------------------------------------------------
@@ -377,7 +405,8 @@ def coo_rows_from_indptr(sparsity: EmbeddedSparsity) -> JaxArray:
 
 def jax_cg_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
                      b: JaxArray, pattern, rtol: float = 1e-10,
-                     max_iters: int | None = None) -> JaxArray:
+                     max_iters: int | None = None,
+                     row_scale: JaxArray | None = None) -> JaxArray:
     """CG with the aggregation/rigid-body two-level preconditioner
     (fem/two_level.py) — the device-native pyamg replacement. SPD;
     AD via symmetric custom_linear_solve."""
@@ -387,7 +416,8 @@ def jax_cg_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
     diag = unique[sparsity.diag_idx]
     rows = coo_rows_from_indptr(sparsity)
     precon = make_two_level_preconditioner(
-        pattern, unique, rows, sparsity.col_indices, diag)
+        pattern, unique, rows, sparsity.col_indices, diag,
+        row_scale=row_scale)
 
     def solve(_mv, rhs):
         return _cg_residual_replacement(matvec, precon, rhs, rtol,
@@ -399,7 +429,8 @@ def jax_cg_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
 def jax_gmres_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
                         b: JaxArray, pattern, rtol: float = 1e-10,
                         max_iters: int | None = None,
-                        restart: int = 20) -> JaxArray:
+                        restart: int = 20,
+                        row_scale: JaxArray | None = None) -> JaxArray:
     """GMRES with the aggregation two-level preconditioner (LU coarse
     solve) — the mixed u-p / nonsymmetric counterpart of
     :func:`jax_cg_two_level`."""
@@ -410,7 +441,7 @@ def jax_gmres_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
     rows = coo_rows_from_indptr(sparsity)
     precon, precon_T = make_two_level_preconditioner(
         pattern, unique, rows, sparsity.col_indices, diag,
-        symmetric=False)
+        symmetric=False, row_scale=row_scale)
 
     def run(op, rhs, M):
         # incremental (modified Gram-Schmidt) Arnoldi: the batched
@@ -433,7 +464,7 @@ _F32_INNER_RTOL = 1e-6  # what a preconditioned f32 CG can reliably reach
 
 
 def _build_f32_cg_precon(kind, unique32, sparsity, pattern, degree,
-                         matvec32):
+                         matvec32, row_scale=None):
     """f32 preconditioner closure for the inner CG of the mixed solver."""
     diag = unique32[sparsity.diag_idx]
     if kind == "jacobi":
@@ -442,8 +473,11 @@ def _build_f32_cg_precon(kind, unique32, sparsity, pattern, degree,
         from cmad_tpu.fem.two_level import make_two_level_preconditioner
 
         rows = coo_rows_from_indptr(sparsity)
+        rs32 = (row_scale.astype(jnp.float32)
+                if row_scale is not None else None)
         return make_two_level_preconditioner(
-            pattern, unique32, rows, sparsity.col_indices, diag)
+            pattern, unique32, rows, sparsity.col_indices, diag,
+            row_scale=rs32)
     if kind == "chebyshev":
         dis = 1.0 / jnp.sqrt(diag)
 
@@ -461,7 +495,8 @@ def _build_f32_cg_precon(kind, unique32, sparsity, pattern, degree,
 def jax_cg_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
                  b: JaxArray, rtol: float = 1e-10,
                  max_iters: int | None = None, precon: str = "jacobi",
-                 pattern=None, degree: int = 3) -> JaxArray:
+                 pattern=None, degree: int = 3,
+                 row_scale: JaxArray | None = None) -> JaxArray:
     """Mixed-precision CG: f64 iterative refinement around an f32 inner
     preconditioned CG.
 
@@ -482,7 +517,8 @@ def jax_cg_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
                           max_iters=max_iters)
         if precon == "two_level":
             return jax_cg_two_level(K_data, sparsity, b, pattern,
-                                    rtol=rtol, max_iters=max_iters)
+                                    rtol=rtol, max_iters=max_iters,
+                                    row_scale=row_scale)
         return jax_cg_chebyshev(K_data, sparsity, b, rtol=rtol,
                                 max_iters=max_iters, degree=degree)
 
@@ -495,7 +531,7 @@ def jax_cg_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
         return K32 @ x
 
     precon32 = _build_f32_cg_precon(precon, unique32, sparsity, pattern,
-                                    degree, matvec32)
+                                    degree, matvec32, row_scale=row_scale)
     if max_iters is None:
         max_iters = 10 * b.shape[0]
     m = max(1, int(max_iters) // _MIXED_IR_CYCLES)
@@ -534,8 +570,8 @@ def jax_cg_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
 
 def jax_gmres_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
                     b: JaxArray, pattern=None, rtol: float = 1e-10,
-                    max_iters: int | None = None, restart: int = 20
-                    ) -> JaxArray:
+                    max_iters: int | None = None, restart: int = 20,
+                    row_scale: JaxArray | None = None) -> JaxArray:
     """Mixed-precision GMRES (nonsymmetric counterpart of
     :func:`jax_cg_mixed`): f64 refinement around an f32 inner
     two-level- (or Jacobi-) preconditioned GMRES."""
@@ -543,7 +579,8 @@ def jax_gmres_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
         if pattern is not None:
             return jax_gmres_two_level(K_data, sparsity, b, pattern,
                                        rtol=rtol, max_iters=max_iters,
-                                       restart=restart)
+                                       restart=restart,
+                                       row_scale=row_scale)
         return jax_gmres(K_data, sparsity, b, rtol=rtol,
                          max_iters=max_iters, restart=restart)
 
@@ -560,9 +597,11 @@ def jax_gmres_mixed(K_data: JaxArray, sparsity: EmbeddedSparsity,
         from cmad_tpu.fem.two_level import make_two_level_preconditioner
 
         rows = coo_rows_from_indptr(sparsity)
+        rs32 = (row_scale.astype(jnp.float32)
+                if row_scale is not None else None)
         precon32, precon32_T = make_two_level_preconditioner(
             pattern, unique32, rows, sparsity.col_indices, diag32,
-            symmetric=False)
+            symmetric=False, row_scale=rs32)
     else:
         precon32 = precon32_T = lambda x: x / diag32
     if max_iters is None:

@@ -204,17 +204,21 @@ def _normalize_and_mask(P_vals, agg_of_dof, n_aggs, prescribed_indices):
     P_vals[np.asarray(prescribed_indices, dtype=np.intp)] = 0.0
 
 
-def _apply_P(pattern: TwoLevelPattern, x_c: JaxArray) -> JaxArray:
+def _apply_P(pattern: TwoLevelPattern, x_c: JaxArray,
+             P_vals: JaxArray | None = None) -> JaxArray:
     """(m,) coarse -> (n_dofs,) fine."""
-    P_vals = jnp.asarray(pattern.P_vals, dtype=x_c.dtype)
+    if P_vals is None:
+        P_vals = jnp.asarray(pattern.P_vals, dtype=x_c.dtype)
     blocks = x_c.reshape(pattern.num_aggregates,
                          pattern.width)[pattern.agg_of_dof]
     return jnp.sum(P_vals * blocks, axis=-1)
 
 
-def _apply_PT(pattern: TwoLevelPattern, r: JaxArray) -> JaxArray:
+def _apply_PT(pattern: TwoLevelPattern, r: JaxArray,
+              P_vals: JaxArray | None = None) -> JaxArray:
     """(n_dofs,) fine -> (m,) coarse."""
-    P_vals = jnp.asarray(pattern.P_vals, dtype=r.dtype)
+    if P_vals is None:
+        P_vals = jnp.asarray(pattern.P_vals, dtype=r.dtype)
     contrib = P_vals * r[:, None]                # (n_dofs, w)
     out = jnp.zeros((pattern.num_aggregates, pattern.width),
                     dtype=r.dtype)
@@ -223,7 +227,8 @@ def _apply_PT(pattern: TwoLevelPattern, r: JaxArray) -> JaxArray:
 
 
 def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
-                  rows: JaxArray, cols: JaxArray) -> JaxArray:
+                  rows: JaxArray, cols: JaxArray,
+                  P_vals: JaxArray | None = None) -> JaxArray:
     """A_c = P^T K P from K's deduped COO triplet, dense (m, m)."""
     m, w = pattern.coarse_dim, pattern.width
     if m > 24000:
@@ -232,7 +237,8 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
             "coarse factorization would need "
             f"{m * m * 8 / 1e9:.1f} GB; raise 'aggregate nodes' in the "
             "preconditioner spec to shrink the coarse space")
-    P_vals = jnp.asarray(pattern.P_vals, dtype=unique.dtype)
+    if P_vals is None:
+        P_vals = jnp.asarray(pattern.P_vals, dtype=unique.dtype)
     agg = jnp.asarray(pattern.agg_of_dof)
     Pi = P_vals[rows]                            # (nnz, w)
     Pj = P_vals[cols]                            # (nnz, w)
@@ -254,15 +260,25 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
 def make_two_level_preconditioner(pattern: TwoLevelPattern,
                                   unique: JaxArray, rows: JaxArray,
                                   cols: JaxArray, diag: JaxArray,
-                                  symmetric: bool = True):
+                                  symmetric: bool = True,
+                                  row_scale: JaxArray | None = None):
     """M^-1 = D^-1 + P (P^T K P)^-1 P^T (additive coarse correction).
 
     ``symmetric=True`` (SPD K): Cholesky coarse solve, for CG.
     ``symmetric=False`` (saddle points / nonsymmetric K): LU coarse
     solve and a |diag| smoother, for GMRES; returns
     ``(apply, apply_transpose)`` in that case.
+
+    ``row_scale``: when the operator has been symmetrically equilibrated
+    (``Ks = S K S``, ``S = diag(s)``), pass ``row_scale = 1/s`` so the
+    coarse basis becomes ``S^-1 P`` — the near-null space of the SCALED
+    operator (``K P ~ 0  =>  Ks (S^-1 P) ~ 0``).
     """
-    A_c = coarse_matrix(pattern, unique, rows, cols)
+    P_eff = None
+    if row_scale is not None:
+        P_eff = (jnp.asarray(pattern.P_vals, dtype=unique.dtype)
+                 * row_scale[:, None])
+    A_c = coarse_matrix(pattern, unique, rows, cols, P_vals=P_eff)
     # Symmetric diagonal equilibration + null-column deflation.
     # Rank-deficient aggregate slots (single-node aggregates, prescribed
     # rows, the pressure slot of pure-u problems) leave near-null
@@ -289,9 +305,9 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
         chol = jax.scipy.linalg.cho_factor(A_s)
 
         def apply(r):
-            rhs = s * _apply_PT(pattern, r)
+            rhs = s * _apply_PT(pattern, r, P_eff)
             z_c = s * jax.scipy.linalg.cho_solve(chol, rhs)
-            return r / diag + _apply_P(pattern, z_c)
+            return r / diag + _apply_P(pattern, z_c, P_eff)
 
         return apply
 
@@ -302,12 +318,13 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
     d_safe = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
 
     def apply(r):
-        z_c = s * jax.scipy.linalg.lu_solve(lu, s * _apply_PT(pattern, r))
-        return r / d_safe + _apply_P(pattern, z_c)
+        z_c = s * jax.scipy.linalg.lu_solve(
+            lu, s * _apply_PT(pattern, r, P_eff))
+        return r / d_safe + _apply_P(pattern, z_c, P_eff)
 
     def apply_transpose(r):
-        z_c = s * jax.scipy.linalg.lu_solve(lu_T,
-                                            s * _apply_PT(pattern, r))
-        return r / d_safe + _apply_P(pattern, z_c)
+        z_c = s * jax.scipy.linalg.lu_solve(
+            lu_T, s * _apply_PT(pattern, r, P_eff))
+        return r / d_safe + _apply_P(pattern, z_c, P_eff)
 
     return apply, apply_transpose

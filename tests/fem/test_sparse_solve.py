@@ -224,3 +224,47 @@ def test_batched_rhs_under_vmap(system):
     K = _dense(K_data, arrays.embedded_sparsity)
     assert np.allclose(np.asarray(X),
                        np.linalg.solve(K, np.asarray(B).T).T, atol=1e-9)
+
+
+def test_equilibrate_data_is_symmetric_scaling(mixed_system):
+    """dedup(equilibrated data) == S K S with S = diag(1/sqrt(|diag K|)),
+    and the change-of-variables round trip reproduces the direct solve."""
+    from cmad_tpu.fem.sparse_solve import equilibrate_data
+
+    fe, arrays, K_data, b = mixed_system
+    sparsity = arrays.embedded_sparsity
+    Ks_data, s = equilibrate_data(K_data, sparsity)
+
+    K = _dense(K_data, sparsity)
+    Ks = _dense(Ks_data, sparsity)
+    s_np = np.asarray(s)
+    assert np.allclose(Ks, s_np[:, None] * K * s_np[None, :],
+                       rtol=1e-12, atol=1e-12)
+    # unit diagonal after scaling (all diagonals nonzero here)
+    assert np.allclose(np.abs(np.diag(Ks)), 1.0, atol=1e-12)
+
+    y = scipy_lu(Ks_data, sparsity, s * b)
+    x = s * y
+    assert np.allclose(np.asarray(x),
+                       np.linalg.solve(K, np.asarray(b)), atol=1e-8)
+
+
+def test_solve_linear_equilibrate_matches_direct(mixed_system):
+    """solve_linear with equilibrate on (auto for mixed layouts) returns
+    the solution of the ORIGINAL system for every arm."""
+    from cmad_tpu.fem.nonlinear_solver import solve_linear
+
+    fe, arrays, K_data, b = mixed_system
+    K = _dense(K_data, arrays.embedded_sparsity)
+    x_ref = np.linalg.solve(K, np.asarray(b))
+
+    for settings in (
+            {"type": "direct"},   # auto -> on for the mixed layout
+            {"type": "gmres", "rtol": 1e-12, "max iters": 2000,
+             "restart": 50,
+             "preconditioner": {"type": "two_level",
+                                "aggregate nodes": 8}},
+            {"type": "direct", "equilibrate": False}):
+        x = solve_linear(K_data, fe, arrays, jnp.asarray(b), settings)
+        assert np.allclose(np.asarray(x), x_ref, rtol=1e-6, atol=1e-8), \
+            settings
