@@ -104,6 +104,38 @@ def strip_calibr8_only(deck: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+def migrate_pyamg(solver: dict[str, Any]) -> None:
+    """Map the reference's pyamg arms onto device-native equivalents.
+
+    The reference (``cmad/io/schemas/linear_solver.yaml``) accepts
+    ``preconditioner: {type: pyamg, kwargs: ...}`` and ``inner: amg``
+    inside the block preconditioner, both backed by host-side pyamg
+    V-cycles. This build's algebraic-coarse arm is the device-native
+    two-level preconditioner (``fem/two_level.py``: aggregation +
+    rigid-body coarse space), so a reference deck naming pyamg runs
+    unchanged — mapped with a logged note instead of failing schema
+    validation. In-place; idempotent.
+    """
+    precon = solver.get("preconditioner")
+    if not isinstance(precon, dict):
+        return
+    if precon.get("type") == "pyamg":
+        dropped = precon.pop("kwargs", None)
+        precon["type"] = "two_level"
+        msg = ("linear solver preconditioner 'pyamg' is host-side-only; "
+               "mapped to the device-native 'two_level' "
+               "(aggregation + rigid-body coarse space) preconditioner")
+        if dropped:
+            msg += f"; pyamg kwargs {sorted(dropped)} ignored"
+        warnings.warn(msg, UserWarning, stacklevel=4)
+    if precon.get("type") == "block" and precon.get("inner") == "amg":
+        precon["inner"] = "chebyshev"
+        warnings.warn(
+            "block preconditioner inner solve 'amg' is host-side-only; "
+            "mapped to the device-native 'chebyshev' inner solve",
+            UserWarning, stacklevel=4)
+
+
 def _setdefaults(target: dict, defaults: dict) -> None:
     for k, v in defaults.items():
         if isinstance(v, dict):
@@ -130,8 +162,9 @@ def apply_deck_defaults(deck: dict[str, Any]) -> dict[str, Any]:
         residuals = resolved.setdefault("residuals", {})
         for slot, defaults in _FE_RESIDUALS_DEFAULTS.items():
             _setdefaults(residuals.setdefault(slot, {}), defaults)
-        _setdefaults(resolved.setdefault("linear solver", {}),
-                     _LINEAR_SOLVER_DEFAULTS)
+        solver = resolved.setdefault("linear solver", {})
+        migrate_pyamg(solver)
+        _setdefaults(solver, _LINEAR_SOLVER_DEFAULTS)
 
     if "output" in resolved:
         output = resolved["output"]

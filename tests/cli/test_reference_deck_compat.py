@@ -58,21 +58,35 @@ def test_mixed_elastic_deck_runs_verbatim(tmp_path, monkeypatch):
     assert main(["primal", "d.yaml"]) == 0
 
 
-@pytest.mark.parametrize("deck", ["notch_hosford.yaml",
-                                  "mixed_plastic.yaml"])
-def test_reference_decks_validate_and_build(tmp_path, monkeypatch, deck):
-    """Deck -> schema -> FE problem build (no solve: the notch decks
-    take minutes; the full-solve compatibility run lives in the repo
-    log)."""
+def test_notch_deck_validates_and_builds(tmp_path, monkeypatch):
+    """Deck -> schema -> FE problem build (no solve: the notch deck
+    takes minutes; the full-solve compatibility run lives in
+    benchmarks/notch_hosford/)."""
     from cmad_tpu.cli.fe_common import build_fe_problem_from_deck
 
-    shutil.copy(REF / deck, tmp_path / "d.yaml")
-    if deck == "notch_hosford.yaml":
-        _stage(tmp_path, deck, "notch.exo")
-    else:
-        _make_cube_mesh(tmp_path)
+    _stage(tmp_path, "notch_hosford.yaml", "notch.exo")
+    shutil.copy(REF / "notch_hosford.yaml", tmp_path / "d.yaml")
     monkeypatch.chdir(tmp_path)
     bundle = build_fe_problem_from_deck("d.yaml", "primal")
     assert bundle.fe_problem.dof_map.num_total_dofs > 0
     assert len(bundle.t_schedule) >= 2
     assert np.isfinite(list(bundle.t_schedule)).all()
+
+
+def test_mixed_plastic_deck_runs_verbatim(tmp_path, monkeypatch):
+    """Full solve of the reference's hardest deck (mixed u-p J2
+    plasticity, 5 load steps) — all steps must converge.
+    Truth cross-check: |U| from the CPU f64 direct solve."""
+    import json
+
+    from cmad_tpu.cli.main import main
+
+    shutil.copy(REF / "mixed_plastic.yaml", tmp_path / "d.yaml")
+    _make_cube_mesh(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    assert main(["primal", "d.yaml"]) == 0
+    solver = json.loads((tmp_path / "results" / "solver.json").read_text())
+    steps = solver if isinstance(solver, list) else solver["steps"]
+    assert len(steps) == 5
+    for step in steps:
+        assert step["final_residual"] < 1e-6 * step["initial_residual"]

@@ -52,3 +52,50 @@ def test_unwrap_top_level():
 def test_mesh_suffix_dispatch_error():
     with pytest.raises(ValueError, match="unsupported mesh extension"):
         read_mesh_file("mesh.vtk")
+
+
+def _fe_deck(solver):
+    return {"problem": {"type": "fe", "name": "t"},
+            "discretization": {"mesh file": "m.exo", "num steps": 1,
+                               "step size": 1.0},
+            "residuals": {
+                "global residual": {"type": "small_disp_equilibrium",
+                                    "def_type": "full_3d"},
+                "local residual": {
+                    "type": "elastic",
+                    "materials": {"all": {
+                        "elastic": {"E": 1.0, "nu": 0.3}}}}},
+            "dirichlet bcs": {},
+            "linear solver": solver}
+
+
+def test_pyamg_preconditioner_migrates_to_two_level():
+    """A reference deck naming pyamg (reference
+    cmad/io/schemas/linear_solver.yaml pyamg const) runs unchanged:
+    mapped to the device-native two_level arm with a logged note."""
+    from cmad_tpu.io.schema import validate_deck
+
+    deck = _fe_deck({"type": "cg", "rtol": 1.0e-8,
+                     "preconditioner": {"type": "pyamg",
+                                        "kwargs": {"max_levels": 3}}})
+    with pytest.warns(UserWarning, match="two_level"):
+        resolved = apply_deck_defaults(deck)
+    precon = resolved["linear solver"]["preconditioner"]
+    assert precon["type"] == "two_level"
+    assert "kwargs" not in precon
+    validate_deck(resolved, "primal")   # mapped deck passes the schema
+    # original deck is untouched
+    assert deck["linear solver"]["preconditioner"]["type"] == "pyamg"
+
+
+def test_block_amg_inner_migrates_to_chebyshev():
+    from cmad_tpu.io.schema import validate_deck
+
+    deck = _fe_deck({"type": "gmres", "rtol": 1.0e-8,
+                     "preconditioner": {"type": "block",
+                                        "inner": "amg"}})
+    with pytest.warns(UserWarning, match="chebyshev"):
+        resolved = apply_deck_defaults(deck)
+    assert resolved["linear solver"]["preconditioner"][
+        "inner"] == "chebyshev"
+    validate_deck(resolved, "primal")
