@@ -210,7 +210,8 @@ def solve_linear(K_data: JaxArray, fe_problem: FEProblem,
             return _finish(jax_gmres_two_level(
                 K_data, sparsity, rhs, pattern, rtol=rtol,
                 max_iters=settings["max iters"],
-                restart=settings["restart"], row_scale=row_scale))
+                restart=settings["restart"], row_scale=row_scale,
+                smoother=precon_spec.get("smoother", "auto")))
         if precon == "block":
             if fe_arrays.block_sparsity is None:
                 raise ValueError(

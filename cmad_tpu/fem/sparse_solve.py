@@ -430,7 +430,8 @@ def jax_gmres_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
                         b: JaxArray, pattern, rtol: float = 1e-10,
                         max_iters: int | None = None,
                         restart: int = 20,
-                        row_scale: JaxArray | None = None) -> JaxArray:
+                        row_scale: JaxArray | None = None,
+                        smoother: str = "auto") -> JaxArray:
     """GMRES with the aggregation two-level preconditioner (LU coarse
     solve) — the mixed u-p / nonsymmetric counterpart of
     :func:`jax_cg_two_level`."""
@@ -441,7 +442,7 @@ def jax_gmres_two_level(K_data: JaxArray, sparsity: EmbeddedSparsity,
     rows = coo_rows_from_indptr(sparsity)
     precon, precon_T = make_two_level_preconditioner(
         pattern, unique, rows, sparsity.col_indices, diag,
-        symmetric=False, row_scale=row_scale)
+        symmetric=False, row_scale=row_scale, smoother=smoother)
 
     def run(op, rhs, M):
         # incremental (modified Gram-Schmidt) Arnoldi: the batched

@@ -257,17 +257,80 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
     return A_c.at[ri, ci].add(block.reshape(-1))
 
 
+def _node_block_smoother(pattern: TwoLevelPattern, unique: JaxArray,
+                         rows: JaxArray, cols: JaxArray):
+    """Per-node block-Jacobi smoother for the mixed u-p layout.
+
+    Extracts the 4x4 node blocks (3 u components + the node's p dof,
+    including the u-p coupling the scalar |diag| smoother ignores) from
+    the deduped COO in one masked scatter, inverts them once with the
+    unrolled Gauss-Jordan (``ops.linalg.small_solve`` — batched
+    ``jnp.linalg.inv`` lowers to the pathologically slow TPU
+    LuDecomposition custom call), and applies them as a gather +
+    batched 4x4 matvec. Saddle-point tangents couple u and p most
+    strongly within a node, so this is the natural strengthening of
+    the smoother the round-1 two-level arm lacked on mixed PLASTIC
+    tangents.
+
+    Returns ``(apply, apply_transpose)`` closures over (n_dofs,)
+    vectors.
+    """
+    from cmad_tpu.ops.linalg import small_solve
+
+    n_dofs = int(pattern.agg_of_dof.shape[0])
+    n_nodes = n_dofs // 4
+    d = jnp.arange(n_dofs)
+    is_u = d < 3 * n_nodes
+    node_of_dof = jnp.where(is_u, d // 3, d - 3 * n_nodes)
+    slot_of_dof = jnp.where(is_u, d % 3, 3)
+
+    rn, cn = node_of_dof[rows], node_of_dof[cols]
+    same = rn == cn
+    # off-node entries scatter into a discarded overflow block
+    tgt = jnp.where(same, rn, n_nodes)
+    blocks = jnp.zeros((n_nodes + 1, 4, 4), dtype=unique.dtype)
+    blocks = blocks.at[tgt, slot_of_dof[rows], slot_of_dof[cols]].add(
+        jnp.where(same, unique, jnp.zeros((), dtype=unique.dtype)))
+    blocks = blocks[:n_nodes]
+    # relative ridge keeps rare degenerate blocks invertible without
+    # perturbing healthy ones (entries are O(1) after equilibration)
+    scale = jnp.max(jnp.abs(blocks), axis=(-2, -1), keepdims=True)
+    eye = jnp.eye(4, dtype=unique.dtype)
+    blocks = blocks + (10.0 * jnp.finfo(unique.dtype).eps
+                       * jnp.maximum(scale, 1e-30)) * eye
+    inv_blocks = jax.vmap(
+        lambda B: jax.vmap(lambda e: small_solve(B, e))(eye).T)(blocks)
+
+    def _apply_with(inv):
+        def apply(r):
+            r_nodes = jnp.concatenate(
+                [r[:3 * n_nodes].reshape(n_nodes, 3),
+                 r[3 * n_nodes:, None]], axis=1)
+            z = jnp.einsum("nij,nj->ni", inv, r_nodes)
+            return jnp.concatenate([z[:, :3].reshape(-1), z[:, 3]])
+        return apply
+
+    return (_apply_with(inv_blocks),
+            _apply_with(jnp.swapaxes(inv_blocks, -2, -1)))
+
+
 def make_two_level_preconditioner(pattern: TwoLevelPattern,
                                   unique: JaxArray, rows: JaxArray,
                                   cols: JaxArray, diag: JaxArray,
                                   symmetric: bool = True,
-                                  row_scale: JaxArray | None = None):
+                                  row_scale: JaxArray | None = None,
+                                  smoother: str = "auto"):
     """M^-1 = D^-1 + P (P^T K P)^-1 P^T (additive coarse correction).
 
     ``symmetric=True`` (SPD K): Cholesky coarse solve, for CG.
     ``symmetric=False`` (saddle points / nonsymmetric K): LU coarse
-    solve and a |diag| smoother, for GMRES; returns
-    ``(apply, apply_transpose)`` in that case.
+    solve, for GMRES; returns ``(apply, apply_transpose)`` in that
+    case.
+
+    ``smoother``: ``"scalar"`` (|diag| Jacobi), ``"node_block"``
+    (per-node 4x4 block Jacobi, mixed width-7 layout only), or
+    ``"auto"`` — node-block for the mixed nonsymmetric arm (where the
+    scalar smoother is too weak on plastic tangents), scalar elsewhere.
 
     ``row_scale``: when the operator has been symmetrically equilibrated
     (``Ks = S K S``, ``S = diag(s)``), pass ``row_scale = 1/s`` so the
@@ -313,18 +376,29 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
 
     lu = jax.scipy.linalg.lu_factor(A_s)
     lu_T = jax.scipy.linalg.lu_factor(A_s.T)
-    # |diag| keeps the smoother bounded when the pressure block carries
-    # small or sign-flipped diagonal entries
-    d_safe = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
+
+    use_blocks = (smoother == "node_block"
+                  or (smoother == "auto" and pattern.width == 7))
+    if use_blocks and pattern.width != 7:
+        raise ValueError("node_block smoother needs the mixed width-7 "
+                         "two-level pattern")
+    if use_blocks:
+        smooth, smooth_T = _node_block_smoother(pattern, unique, rows,
+                                                cols)
+    else:
+        # |diag| keeps the smoother bounded when the pressure block
+        # carries small or sign-flipped diagonal entries
+        d_safe = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
+        smooth = smooth_T = lambda r: r / d_safe
 
     def apply(r):
         z_c = s * jax.scipy.linalg.lu_solve(
             lu, s * _apply_PT(pattern, r, P_eff))
-        return r / d_safe + _apply_P(pattern, z_c, P_eff)
+        return smooth(r) + _apply_P(pattern, z_c, P_eff)
 
     def apply_transpose(r):
         z_c = s * jax.scipy.linalg.lu_solve(
             lu_T, s * _apply_PT(pattern, r, P_eff))
-        return r / d_safe + _apply_P(pattern, z_c, P_eff)
+        return smooth_T(r) + _apply_P(pattern, z_c, P_eff)
 
     return apply, apply_transpose

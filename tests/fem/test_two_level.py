@@ -211,3 +211,40 @@ def test_grad_through_two_level_solve():
     h = 1.0
     fd = (float(loss(1000.0 + h)) - float(loss(1000.0 - h))) / (2 * h)
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_node_block_smoother_is_block_jacobi_inverse():
+    """_node_block_smoother applies exactly the dense per-node 4x4
+    block-Jacobi inverse (u components + the node's p dof)."""
+    from cmad_tpu.fem.two_level import _node_block_smoother
+
+    fe, arrays, K_data, b = _mixed_system()
+    sp = arrays.embedded_sparsity
+    pattern = get_two_level_pattern(fe, target_nodes_per_aggregate=16)
+    unique, _ = _bcsr_operator(K_data, sp)
+    rows = coo_rows_from_indptr(sp)
+
+    smooth, smooth_T = _node_block_smoother(pattern, unique, rows,
+                                            sp.col_indices)
+    z = np.asarray(smooth(b))
+    zT = np.asarray(smooth_T(b))
+
+    import scipy.sparse
+
+    K = scipy.sparse.csr_matrix(
+        (np.asarray(unique), np.asarray(sp.col_indices),
+         np.asarray(sp.indptr)), shape=(sp.n, sp.n)).toarray()
+    n = sp.n
+    n_nodes = n // 4
+    z_ref = np.zeros(n)
+    zT_ref = np.zeros(n)
+    bn = np.asarray(b)
+    for node in range(n_nodes):
+        idx = [3 * node, 3 * node + 1, 3 * node + 2, 3 * n_nodes + node]
+        B = K[np.ix_(idx, idx)]
+        z_ref[idx] = np.linalg.solve(B, bn[idx])
+        zT_ref[idx] = np.linalg.solve(B.T, bn[idx])
+    np.testing.assert_allclose(z, z_ref, rtol=5e-5,
+                               atol=1e-8 * np.abs(z_ref).max())
+    np.testing.assert_allclose(zT, zT_ref, rtol=5e-5,
+                               atol=1e-8 * np.abs(zT_ref).max())
