@@ -191,6 +191,16 @@ class GlobalResidual(ABC):
                 return xi
 
             return local_solve
+
+        from cmad_tpu.ops.hosford_return import (
+            hosford_reducible,
+            make_hosford_local_solve,
+        )
+        if hosford_reducible(model) and not print_local_convergence:
+            # diagonal-yield reduction: 4-dof Newton instead of 7-dof
+            return make_hosford_local_solve(model,
+                                            **local_newton_settings)
+
         return make_newton_solve(
             model.residual_fun, **local_newton_settings,
             print_local_convergence=print_local_convergence)

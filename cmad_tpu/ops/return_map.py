@@ -109,13 +109,26 @@ def make_batched_return_map(model, max_iters: int = 10,
 
     With ``specialize=True``, models recognized by
     :func:`j2_voce_specializable` dispatch to the analytic radial
-    return — the Pallas kernel on TPU, the XLA-fused form elsewhere.
+    return — the Pallas kernel on TPU, the XLA-fused form elsewhere —
+    and diagonal-Hosford models dispatch to the reduced 4-dof Newton
+    (ops/hosford_return.py).
     """
+    from cmad_tpu.ops.hosford_return import (
+        hosford_reducible,
+        make_hosford_local_solve,
+    )
+
     if specialize and j2_voce_specializable(model):
         return make_j2_radial_return_for(model)
 
-    solve = make_newton_solve(model.residual_fun, max_iters=max_iters,
-                              abs_tol=abs_tol, rel_tol=rel_tol)
+    if specialize and hosford_reducible(model):
+        solve = make_hosford_local_solve(model, max_iters=max_iters,
+                                         abs_tol=abs_tol,
+                                         rel_tol=rel_tol)
+    else:
+        solve = make_newton_solve(model.residual_fun,
+                                  max_iters=max_iters,
+                                  abs_tol=abs_tol, rel_tol=rel_tol)
 
     def point_step(xi_prev, grad_u, grad_u_prev, params):
         dtype = grad_u.dtype

@@ -1,0 +1,68 @@
+"""FE COUPLED assembly with the reduced 4-dof Hosford local solve
+matches the generic 7-dof path on a full Newton drive."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from cmad_tpu.fem.bcs import DirichletBC
+from cmad_tpu.fem.dof import GlobalFieldLayout, build_dof_map
+from cmad_tpu.fem.driver import fe_quasistatic_drive
+from cmad_tpu.fem.elements import Q1_HEX
+from cmad_tpu.fem.fe_problem import build_fe_problem
+from cmad_tpu.fem.mesh import StructuredHexMesh
+from cmad_tpu.global_residuals.modes import GlobalResidualMode
+from cmad_tpu.global_residuals.small_disp_equilibrium import (
+    SmallDispEquilibrium,
+)
+from cmad_tpu.models.small_elastic_plastic import SmallElasticPlastic
+from cmad_tpu.parameters.parameters import Parameters
+
+
+def _hosford_problem():
+    mesh = StructuredHexMesh((1.0, 1.0, 1.0), (3, 3, 3))
+    params = Parameters({
+        "rotation matrix": np.eye(3),
+        "elastic": {"E": 200e3, "nu": 0.3},
+        "plastic": {
+            "effective stress": {"hosford": {"a": 8.0}},
+            "flow stress": {"initial yield": {"Y": 200.0},
+                            "hardening": {"voce": {"S": 10.0,
+                                                   "D": 2.0}}}}})
+    model = SmallElasticPlastic(params)
+    bcs = [
+        DirichletBC(["xmin_sides"], "u", [0], None),
+        DirichletBC(["ymin_sides"], "u", [1], None),
+        DirichletBC(["zmin_sides"], "u", [2], None),
+        DirichletBC(["xmax_sides"], "u", [0],
+                    lambda coords, t: 0.004 * t * jnp.ones(
+                        (coords.shape[0], 1))),
+    ]
+    dof_map = build_dof_map(mesh, [GlobalFieldLayout("u", Q1_HEX)], bcs,
+                            {"u": 3})
+    return build_fe_problem(
+        mesh, dof_map, SmallDispEquilibrium(ndims=3), {"all": model},
+        modes_by_block={"all": GlobalResidualMode.COUPLED})
+
+
+def test_reduced_local_solve_drives_fe_newton(monkeypatch):
+    fe_fast = _hosford_problem()
+    state_fast, _ = fe_quasistatic_drive(fe_fast, [0.0, 0.5, 1.0])
+
+    # force the generic 7-dof local Newton for the control
+    import cmad_tpu.ops.hosford_return as hr
+    monkeypatch.setattr(hr, "hosford_kind", lambda model: None)
+    fe_gen = _hosford_problem()
+    state_gen, _ = fe_quasistatic_drive(fe_gen, [0.0, 0.5, 1.0])
+
+    for step in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(state_fast.U_at(step)),
+            np.asarray(state_gen.U_at(step)), rtol=1e-9, atol=1e-12)
+        xi_f = state_fast.xi_at(step, "all")
+        xi_g = state_gen.xi_at(step, "all")
+        np.testing.assert_allclose(np.asarray(xi_f), np.asarray(xi_g),
+                                   rtol=1e-8, atol=1e-12)
+    # plasticity actually happened
+    assert float(jnp.max(jnp.asarray(
+        state_fast.xi_at(2, "all"))[..., 6])) > 0.0
