@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from scipy.optimize import minimize
+from scipy.optimize import OptimizeResult, minimize
 
 from cmad_tpu.calibrations.al7079.support import (
     calibrated_hill_coefficients,
@@ -50,7 +50,7 @@ def _drive():
     return jnp.asarray((1.0 + eps)[:, None, None])
 
 
-def make_batched_objective(parameters, R_stack, data):
+def make_raw_objective(parameters, R_stack, data):
     """J(canonical actives) summed over all experiments, one trace.
 
     ``data``: (n_exp, 3, NUM_STEPS + 1) — rows are
@@ -88,7 +88,58 @@ def make_batched_objective(parameters, R_stack, data):
             R_stack, data, a)
         return jnp.sum(Js)
 
+    return objective, model
+
+
+def make_batched_objective(parameters, R_stack, data):
+    """jit(value_and_grad) of the summed multi-experiment objective."""
+    objective, model = make_raw_objective(parameters, R_stack, data)
     return jax.jit(jax.value_and_grad(objective)), model
+
+
+def minimize_lbfgs_on_device(objective, x0, maxiter: int,
+                             gtol: float = 1e-8):
+    """Whole L-BFGS loop as ONE compiled device program.
+
+    The scipy path dispatches one device call per function evaluation;
+    through a remote-attached TPU every dispatch pays seconds of tunnel
+    latency, which made this tiny-batch calibration 3.5x slower on TPU
+    than CPU in round 1 (``benchmarks/al7079/README.md``). Running the
+    optimizer itself on device (optax L-BFGS + zoom linesearch inside a
+    ``lax.while_loop``) collapses ~70 dispatches into one.
+
+    Unconstrained: callers whose canonical actives must stay inside the
+    [-1, 1] box should clip the result (the Hill recovery optimum is
+    interior, matching the reference study's use of unbounded
+    ``fmin_l_bfgs_b`` defaults).
+
+    Returns ``(x, value, iters)`` as device arrays.
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(objective)
+
+    def step(carry):
+        x, state = carry
+        value, grad = value_and_grad(x, state=state)
+        updates, state = opt.update(grad, state, x, value=value,
+                                    grad=grad, value_fn=objective)
+        return optax.apply_updates(x, updates), state
+
+    def keep_going(carry):
+        _, state = carry
+        count = otu.tree_get(state, "count")
+        err = otu.tree_norm(otu.tree_get(state, "grad"))
+        return (count == 0) | ((count < maxiter) & (err >= gtol))
+
+    @jax.jit
+    def run(x0):
+        x, state = lax.while_loop(keep_going, step, (x0, opt.init(x0)))
+        return x, objective(x), otu.tree_get(state, "count")
+
+    return run(jnp.asarray(x0))
 
 
 def synthetic_data(parameters, R_stack):
@@ -121,7 +172,16 @@ def synthetic_data(parameters, R_stack):
     return jax.jit(jax.vmap(run_one))(R_stack)
 
 
-def run_calibration(maxiter: int = 50, x0_offset: float = 0.15):
+def run_calibration(maxiter: int = 50, x0_offset: float = 0.15,
+                    optimizer: str = "auto"):
+    """Recover the Hill coefficients from synthetic multi-experiment data.
+
+    ``optimizer``: ``"scipy"`` (host L-BFGS-B, one device dispatch per
+    evaluation — right for CPU), ``"device"`` (the whole L-BFGS loop as
+    one compiled program — right for remote accelerators, where
+    per-dispatch latency dominates this tiny batch), or ``"auto"``
+    (device loop on accelerators, scipy on CPU).
+    """
     # experiments: all three rotation families
     Rs = []
     for family in ("alpha", "beta", "gamma"):
@@ -135,15 +195,35 @@ def run_calibration(maxiter: int = 50, x0_offset: float = 0.15):
     x_true = parameters.flat_active_values(return_canonical=True)
     x0 = np.asarray(x_true) + x0_offset
 
-    vg, _model = make_batched_objective(parameters, R_stack, data)
+    if optimizer == "auto":
+        optimizer = ("device" if jax.default_backend() != "cpu"
+                     else "scipy")
 
-    def fun(x):
-        J, g = vg(jnp.asarray(x))
-        return float(J), np.asarray(g, dtype=np.float64)
+    if optimizer == "device":
+        raw, _model = make_raw_objective(parameters, R_stack, data)
+        lo = np.asarray([b[0] for b in parameters.opt_bounds])
+        hi = np.asarray([b[1] for b in parameters.opt_bounds])
+        # f32 objectives floor well above the f64 gtol; loosen to match
+        gtol = 1e-8 if jnp.zeros(()).dtype == jnp.float64 else 1e-5
+        x, J, iters = minimize_lbfgs_on_device(
+            raw, np.clip(x0, lo, hi), maxiter, gtol=gtol)
+        x = np.clip(np.asarray(x, dtype=np.float64), lo, hi)
+        result = OptimizeResult(
+            x=x, fun=float(J), nit=int(iters),
+            success=bool(int(iters) < maxiter), method="lbfgs_on_device")
+    elif optimizer == "scipy":
+        vg, _model = make_batched_objective(parameters, R_stack, data)
 
-    result = minimize(fun, x0, jac=True, method="L-BFGS-B",
-                      bounds=[tuple(b) for b in parameters.opt_bounds],
-                      options={"maxiter": maxiter})
+        def fun(x):
+            J, g = vg(jnp.asarray(x))
+            return float(J), np.asarray(g, dtype=np.float64)
+
+        result = minimize(fun, x0, jac=True, method="L-BFGS-B",
+                          bounds=[tuple(b) for b in parameters.opt_bounds],
+                          options={"maxiter": maxiter})
+    else:
+        raise ValueError(
+            f"unknown optimizer {optimizer!r} (scipy | device | auto)")
     parameters.set_active_values_from_flat(result.x)
     return result, parameters.flat_active_values()
 

@@ -56,6 +56,23 @@ def setup() -> None:
     # because the assembled Jacobian no longer matches the residual.
     # Force true-f32 matmul accumulation (no-op on CPU f64).
     jax.config.update("jax_default_matmul_precision", "highest")
+    # Persistent XLA compilation cache: implicit-solver graphs (Newton
+    # while_loops, Krylov solves, optimizer loops) take tens of seconds
+    # to compile and dominate cold-start wall on accelerators; cache
+    # them across processes. CMAD_XLA_CACHE overrides the location;
+    # CMAD_XLA_CACHE=0 disables.
+    cache = os.environ.get("CMAD_XLA_CACHE", "")
+    if cache not in ("0", "off", "false"):
+        if not cache:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "cmad_tpu_xla")
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
 
 
 def x64_enabled() -> bool:

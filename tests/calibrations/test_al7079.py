@@ -49,3 +49,31 @@ def test_forward_curves_vary_with_rotation():
     terminal = curves[:, -1]
     assert terminal.std() > 10.0  # strongly anisotropic
     assert np.all(terminal > 400.0)
+
+
+def test_lbfgs_on_device_quadratic_and_rosenbrock():
+    """The one-dispatch L-BFGS loop minimizes standard problems."""
+    import jax.numpy as jnp
+
+    from cmad_tpu.calibrations.al7079.multi_experiment_hill_calibration import (
+        minimize_lbfgs_on_device,
+    )
+
+    A = jnp.asarray([[3.0, 1.0], [1.0, 2.0]])
+    b = jnp.asarray([1.0, -2.0])
+
+    def quad(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    x, J, iters = minimize_lbfgs_on_device(quad, jnp.zeros(2), 50)
+    x_star = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert np.allclose(np.asarray(x), x_star, atol=1e-6)
+    assert int(iters) < 50
+
+    def rosen(x):
+        return (100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2)
+
+    x, J, iters = minimize_lbfgs_on_device(
+        rosen, jnp.asarray([-1.2, 1.0]), 200)
+    assert np.allclose(np.asarray(x), [1.0, 1.0], atol=1e-5)
+    assert float(J) < 1e-10
