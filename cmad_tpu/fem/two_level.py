@@ -22,9 +22,10 @@ the fix for Jacobi-CG's 1/h iteration growth at scale):
   smoother + coarse correction).
 
 Validated envelope: displacement CG (SPD) at any tested scale; mixed
-u-p GMRES on elastic tangents. On mixed PLASTIC tangents in f32 the
-scalar smoother is too weak — use the block-chebyshev arm there
-(see the verify recipe).
+u-p GMRES on elastic AND plastic tangents — with the symmetric
+diagonal equilibration applied by solve_linear and the per-node 4x4
+block smoother (below), the 5-step mixed plastic cube in f32 agrees
+with f64 direct truth to 6 digits on CPU and 7 on TPU (measured r2).
 
 Everything is XLA-friendly: gathers, segment sums, one small dense
 factorization — no host callbacks.
