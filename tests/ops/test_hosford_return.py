@@ -148,3 +148,33 @@ def test_kind_gates():
     m = SmallRateElasticPlastic(_params(),
                                 def_type=DefType.PLANE_STRESS)
     assert hosford_kind(m) is None
+
+
+def test_reduced_handles_combined_hardening():
+    """voce + linear hardening blocks both enter H(alpha) generically."""
+    params = Parameters({
+        "rotation matrix": np.eye(3),
+        "elastic": {"E": 200e3, "nu": 0.3},
+        "plastic": {
+            "effective stress": {"hosford": {"a": 8.0}},
+            "flow stress": {
+                "initial yield": {"Y": 200.0},
+                "hardening": {"voce": {"S": 200.0, "D": 20.0},
+                              "linear": {"K": 500.0}}}}})
+    model = SmallRateElasticPlastic(params)
+    assert hosford_kind(model) == "rate"
+    generic = make_newton_solve(model.residual_fun, max_iters=40)
+    reduced = make_hosford_local_solve(model, max_iters=40)
+    grad_u = _batch(seed=3, B=16)
+    gu0 = jnp.zeros_like(grad_u)
+    xi_prev = jnp.zeros((grad_u.shape[0], model.num_dofs))
+
+    xi_g = jax.vmap(lambda xp, g, g0: generic(
+        xp, xp, params.values, _fields(g), _fields(g0)))(
+        xi_prev, grad_u, gu0)
+    xi_r = jax.vmap(lambda xp, g, g0: reduced(
+        xp, xp, params.values, _fields(g), _fields(g0)))(
+        xi_prev, grad_u, gu0)
+    assert float(np.max(np.asarray(xi_g[:, 6]))) > 0.0
+    np.testing.assert_allclose(np.asarray(xi_r), np.asarray(xi_g),
+                               rtol=1e-9, atol=1e-11)
