@@ -100,3 +100,100 @@ def sharded_jax_cg(K_data: JaxArray, sparsity: EmbeddedSparsity,
         return x
 
     return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
+def _sharded_operator(K_data, sparsity, mesh, axis_name, pattern):
+    """(vals_sharded, rows_sh, cols_sh, unique, diag) shared setup for
+    the sharded Krylov arms."""
+    if pattern is None:
+        pattern = build_row_sharded_pattern(sparsity, mesh, axis_name)
+    rows_sh, cols_sh, pad = pattern
+    unique = jnp.zeros(sparsity.num_unique, dtype=K_data.dtype
+                       ).at[sparsity.segment_ids].add(K_data[sparsity.perm])
+    vals = jnp.concatenate(
+        [unique, jnp.zeros(pad, dtype=unique.dtype)]) if pad else unique
+    vals = lax.with_sharding_constraint(
+        vals, NamedSharding(mesh, P(axis_name)))
+    return vals, rows_sh, cols_sh, unique, unique[sparsity.diag_idx]
+
+
+def sharded_jax_cg_two_level(K_data: JaxArray,
+                             sparsity: EmbeddedSparsity,
+                             b: JaxArray, mesh: Mesh, tl_pattern,
+                             axis_name: str = "elem",
+                             rtol: float = 1e-10,
+                             max_iters: int | None = None,
+                             pattern=None,
+                             row_scale: JaxArray | None = None
+                             ) -> JaxArray:
+    """Two-level-preconditioned CG over the sharded matvec.
+
+    The preconditioner (fem/two_level.py) applies to REPLICATED
+    vectors — gathers + one small dense coarse solve, identical on
+    every device, so it adds no collectives; only the SpMV is sharded.
+    """
+    from cmad_tpu.fem.sparse_solve import coo_rows_from_indptr
+    from cmad_tpu.fem.two_level import make_two_level_preconditioner
+
+    vals, rows_sh, cols_sh, unique, diag = _sharded_operator(
+        K_data, sparsity, mesh, axis_name, pattern)
+    rows_u = coo_rows_from_indptr(sparsity)
+    precon = make_two_level_preconditioner(
+        tl_pattern, unique, rows_u, sparsity.col_indices, diag,
+        row_scale=row_scale)
+
+    mv = _sharded_matvec(mesh, axis_name, sparsity.n)
+    matvec = lambda x: mv(vals, rows_sh, cols_sh, x)  # noqa: E731
+
+    def solve(_mv, rhs):
+        x, _ = jax.scipy.sparse.linalg.cg(
+            matvec, rhs, M=precon, tol=rtol, maxiter=max_iters)
+        return x
+
+    return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
+def sharded_jax_gmres(K_data: JaxArray, sparsity: EmbeddedSparsity,
+                      b: JaxArray, mesh: Mesh,
+                      axis_name: str = "elem",
+                      rtol: float = 1e-10,
+                      max_iters: int | None = None,
+                      restart: int = 20, pattern=None,
+                      tl_pattern=None,
+                      row_scale: JaxArray | None = None) -> JaxArray:
+    """Sharded-matvec GMRES for nonsymmetric / mixed u-p tangents.
+
+    The transpose operator reuses the same sharded kernel with the
+    (rows, cols) roles swapped, so reverse-mode AD transposes through
+    ``custom_linear_solve`` without any extra placement. With
+    ``tl_pattern`` set, applies the two-level preconditioner (LU coarse
+    solve + node-block/scalar smoother); else Jacobi on |diag|.
+    """
+    vals, rows_sh, cols_sh, unique, diag = _sharded_operator(
+        K_data, sparsity, mesh, axis_name, pattern)
+    mv = _sharded_matvec(mesh, axis_name, sparsity.n)
+    matvec = lambda x: mv(vals, rows_sh, cols_sh, x)  # noqa: E731
+    vecmat = lambda x: mv(vals, cols_sh, rows_sh, x)  # noqa: E731
+
+    if tl_pattern is not None:
+        from cmad_tpu.fem.sparse_solve import coo_rows_from_indptr
+        from cmad_tpu.fem.two_level import make_two_level_preconditioner
+
+        rows_u = coo_rows_from_indptr(sparsity)
+        precon, precon_T = make_two_level_preconditioner(
+            tl_pattern, unique, rows_u, sparsity.col_indices, diag,
+            symmetric=False, row_scale=row_scale)
+    else:
+        d_safe = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
+        precon = precon_T = lambda x: x / d_safe  # noqa: E731
+
+    def run(op, rhs, M):
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            op, rhs, M=M, tol=rtol, maxiter=max_iters, restart=restart,
+            solve_method="incremental")
+        return x
+
+    return lax.custom_linear_solve(
+        matvec, b, lambda _mv, rhs: run(matvec, rhs, precon),
+        transpose_solve=lambda _vm, rhs: run(vecmat, rhs, precon_T),
+        symmetric=False)

@@ -108,3 +108,54 @@ def test_grad_through_sharded_cg(system, device_mesh):
     fd = (float(loss(1000.0 + h)) - float(loss(1000.0 - h))) / (2 * h)
     # central-diff truncation for loss ~ E^-2 is 2 h^2/E^2 = 2e-6 relative
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_sharded_gmres_matches_single_device(system, device_mesh):
+    from cmad_tpu.fem.sparse_solve import jax_gmres
+    from cmad_tpu.parallel.solve import sharded_jax_gmres
+
+    fe, arrays, K_data_of, b = system
+    sp = arrays.embedded_sparsity
+    K_data = K_data_of(1000.0)
+    x_ref = jax_gmres(K_data, sp, b, rtol=1e-12, max_iters=4000,
+                      restart=40)
+    x_sh = sharded_jax_gmres(K_data, sp, b, device_mesh, rtol=1e-12,
+                             max_iters=4000, restart=40)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_cg_two_level_matches_direct(system, device_mesh):
+    from cmad_tpu.fem.nonlinear_solver import get_two_level_pattern
+    from cmad_tpu.fem.sparse_solve import scipy_lu
+    from cmad_tpu.parallel.solve import sharded_jax_cg_two_level
+
+    fe, arrays, K_data_of, b = system
+    sp = arrays.embedded_sparsity
+    K_data = K_data_of(1000.0)
+    tl = get_two_level_pattern(fe, 8)
+    x_ref = scipy_lu(K_data, sp, b)
+    x_sh = sharded_jax_cg_two_level(K_data, sp, b, device_mesh, tl,
+                                    rtol=1e-12, max_iters=4000)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_grad_through_sharded_gmres(system, device_mesh):
+    from cmad_tpu.parallel.solve import sharded_jax_gmres
+    from cmad_tpu.fem.sparse_solve import scipy_lu
+
+    fe, arrays, K_data_of, b = system
+    sp = arrays.embedded_sparsity
+
+    def loss_sh(E):
+        x = sharded_jax_gmres(K_data_of(E), sp, b, device_mesh,
+                              rtol=1e-12, max_iters=4000, restart=40)
+        return jnp.sum(x ** 2)
+
+    def loss_ref(E):
+        return jnp.sum(scipy_lu(K_data_of(E), sp, b) ** 2)
+
+    g_sh = float(jax.grad(loss_sh)(1000.0))
+    g_ref = float(jax.grad(loss_ref)(1000.0))
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-5)
