@@ -201,6 +201,15 @@ class GlobalResidual(ABC):
             return make_hosford_local_solve(model,
                                             **local_newton_settings)
 
+        from cmad_tpu.ops.hill_return import (
+            hill_reducible,
+            make_hill_local_solve,
+        )
+        if hill_reducible(model) and not print_local_convergence:
+            # quadratic-yield reduction: scalar Newton + linear
+            # stress recovery instead of the 7-dof coupled solve
+            return make_hill_local_solve(model, **local_newton_settings)
+
         return make_newton_solve(
             model.residual_fun, **local_newton_settings,
             print_local_convergence=print_local_convergence)

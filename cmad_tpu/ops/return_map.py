@@ -121,10 +121,18 @@ def make_batched_return_map(model, max_iters: int = 10,
     if specialize and j2_voce_specializable(model):
         return make_j2_radial_return_for(model)
 
+    from cmad_tpu.ops.hill_return import (
+        hill_reducible,
+        make_hill_local_solve,
+    )
+
     if specialize and hosford_reducible(model):
         solve = make_hosford_local_solve(model, max_iters=max_iters,
                                          abs_tol=abs_tol,
                                          rel_tol=rel_tol)
+    elif specialize and hill_reducible(model):
+        solve = make_hill_local_solve(model, max_iters=max_iters,
+                                      abs_tol=abs_tol, rel_tol=rel_tol)
     else:
         solve = make_newton_solve(model.residual_fun,
                                   max_iters=max_iters,

@@ -66,3 +66,50 @@ def test_reduced_local_solve_drives_fe_newton(monkeypatch):
     # plasticity actually happened
     assert float(jnp.max(jnp.asarray(
         state_fast.xi_at(2, "all"))[..., 6])) > 0.0
+
+
+def test_hill_reduced_local_solve_drives_fe_newton(monkeypatch):
+    """Same equivalence for the scalar Hill reduction."""
+    import cmad_tpu.ops.hill_return as hill
+
+    def _hill_problem():
+        mesh = StructuredHexMesh((1.0, 1.0, 1.0), (3, 3, 3))
+        params = Parameters({
+            "rotation matrix": np.eye(3),
+            "elastic": {"E": 200e3, "nu": 0.3},
+            "plastic": {
+                "effective stress": {"hill": {
+                    "F": 0.45, "G": 0.55, "H": 0.5,
+                    "L": 1.4, "M": 1.7, "N": 1.55}},
+                "flow stress": {"initial yield": {"Y": 200.0},
+                                "hardening": {"voce": {"S": 10.0,
+                                                       "D": 2.0}}}}})
+        model = SmallElasticPlastic(params)
+        bcs = [
+            DirichletBC(["xmin_sides"], "u", [0], None),
+            DirichletBC(["ymin_sides"], "u", [1], None),
+            DirichletBC(["zmin_sides"], "u", [2], None),
+            DirichletBC(["xmax_sides"], "u", [0],
+                        lambda coords, t: 0.004 * t * jnp.ones(
+                            (coords.shape[0], 1))),
+        ]
+        dof_map = build_dof_map(mesh, [GlobalFieldLayout("u", Q1_HEX)],
+                                bcs, {"u": 3})
+        return build_fe_problem(
+            mesh, dof_map, SmallDispEquilibrium(ndims=3),
+            {"all": model},
+            modes_by_block={"all": GlobalResidualMode.COUPLED})
+
+    fe_fast = _hill_problem()
+    state_fast, _ = fe_quasistatic_drive(fe_fast, [0.0, 0.5, 1.0])
+
+    monkeypatch.setattr(hill, "hill_kind", lambda model: None)
+    fe_gen = _hill_problem()
+    state_gen, _ = fe_quasistatic_drive(fe_gen, [0.0, 0.5, 1.0])
+
+    for step in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(state_fast.U_at(step)),
+            np.asarray(state_gen.U_at(step)), rtol=1e-9, atol=1e-12)
+    assert float(jnp.max(jnp.asarray(
+        state_fast.xi_at(2, "all"))[..., 6])) > 0.0
