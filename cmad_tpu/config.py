@@ -56,16 +56,14 @@ def setup() -> None:
     # because the assembled Jacobian no longer matches the residual.
     # Force true-f32 matmul accumulation (no-op on CPU f64).
     jax.config.update("jax_default_matmul_precision", "highest")
-    # Persistent XLA compilation cache: implicit-solver graphs (Newton
-    # while_loops, Krylov solves, optimizer loops) take tens of seconds
-    # to compile and dominate cold-start wall on accelerators; cache
-    # them across processes. CMAD_XLA_CACHE overrides the location;
-    # CMAD_XLA_CACHE=0 disables.
+    # Persistent XLA compilation cache, OPT-IN via CMAD_XLA_CACHE=<dir>.
+    # Off by default: XLA:CPU AOT entries embed the compiling machine's
+    # feature flags, and loading them from a differently-configured
+    # process emits "could lead to execution errors such as SIGILL"
+    # (measured r2 when one cache dir was shared across environments);
+    # the remote-TPU backend gained nothing from it either.
     cache = os.environ.get("CMAD_XLA_CACHE", "")
-    if cache not in ("0", "off", "false"):
-        if not cache:
-            cache = os.path.join(
-                os.path.expanduser("~"), ".cache", "cmad_tpu_xla")
+    if cache and cache not in ("0", "off", "false"):
         try:
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
