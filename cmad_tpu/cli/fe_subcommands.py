@@ -58,6 +58,28 @@ def _nls_settings(bundle: FEProblemBundle) -> dict[str, Any]:
             "line search": gr.get("line search", {})}
 
 
+def _resolve_restart(bundle: FEProblemBundle):
+    """(t_schedule, U_init, xi_init_by_block) honoring a top-level
+    ``restart: {file: ...}`` section: the schedule keeps its t0-anchored
+    shape but resumes at the checkpoint time, dropping already-solved
+    steps."""
+    schedule = bundle.t_schedule.tolist()
+    if "restart" not in bundle.resolved:
+        return schedule, None, None
+    from cmad_tpu.io.restart import check_restart_compatible, read_restart
+
+    U0, xi0, t0 = read_restart(
+        Path(bundle.resolved["restart"]["file"]))
+    check_restart_compatible(bundle.fe_problem, U0, xi0)
+    eps = 1e-12 * max(1.0, abs(schedule[-1]))
+    remaining = [t for t in schedule if t > t0 + eps]
+    if not remaining:
+        raise ValueError(
+            f"restart checkpoint is at t = {t0}, at or beyond the "
+            f"deck's final step time {schedule[-1]} — nothing to solve")
+    return [t0, *remaining], U0, xi0
+
+
 def run_primal_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "primal")
     qoi = bundle.qoi
@@ -65,6 +87,7 @@ def run_primal_fe(deck_path: Path) -> int:
                  else None)
     from cmad_tpu.util.profiling import maybe_trace
 
+    t_schedule, U_init, xi_init = _resolve_restart(bundle)
     driver = bundle.resolved["residuals"]["global residual"].get(
         "driver", "scan")
     with maybe_trace(bundle.resolved):
@@ -74,24 +97,26 @@ def run_primal_fe(deck_path: Path) -> int:
             )
 
             state, solver_log = fe_quasistatic_drive_host(
-                bundle.fe_problem, bundle.t_schedule.tolist(),
+                bundle.fe_problem, t_schedule,
                 nonlinear_solver_settings=_nls_settings(bundle),
-                linear_solver_settings=bundle.resolved["linear solver"])
+                linear_solver_settings=bundle.resolved["linear solver"],
+                U_init=U_init, xi_init_by_block=xi_init)
             J = _accumulate_qoi_over_history(
                 bundle, state,
                 None if write_qoi is not None else qoi)
         else:
             state, J = fe_quasistatic_drive(
-                bundle.fe_problem, bundle.t_schedule.tolist(),
+                bundle.fe_problem, t_schedule,
                 nonlinear_solver_settings=_nls_settings(bundle),
                 linear_solver_settings=bundle.resolved["linear solver"],
-                qoi=None if write_qoi is not None else qoi)
+                qoi=None if write_qoi is not None else qoi,
+                U_init=U_init, xi_init_by_block=xi_init)
             # the scanned Newton cannot self-report (no host callbacks
             # on TPU); verify the recorded history's true residuals
             from cmad_tpu.fem.driver import fe_history_solver_log
 
             solver_log = fe_history_solver_log(
-                bundle.fe_problem, state, bundle.t_schedule.tolist(),
+                bundle.fe_problem, state, t_schedule,
                 nonlinear_solver_settings=_nls_settings(bundle))
 
     if "output" not in bundle.resolved:
@@ -99,6 +124,15 @@ def run_primal_fe(deck_path: Path) -> int:
     out_dir, prefix, _fmt = resolve_output(bundle.resolved)
     write_solver_log(out_dir, prefix, solver_log)
     output = bundle.resolved["output"]
+    if output.get("write restart", False):
+        from cmad_tpu.io.restart import write_restart
+
+        last = len(t_schedule) - 1
+        write_restart(
+            out_dir / f"{prefix}restart.npz", state.U_at(last),
+            {b: state.xi_at(last, b)
+             for b in bundle.fe_problem.models_by_block},
+            t_schedule[-1])
     if output.get("write exodus", True):
         plan = resolve_fe_output_plan(output, bundle.fe_problem)
         if "exodus filename" not in output:

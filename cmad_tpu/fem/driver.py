@@ -148,15 +148,19 @@ def fe_history_solver_log(fe_problem: FEProblem, state: FEState,
 def fe_quasistatic_drive(fe_problem: FEProblem,
                          t_schedule: Sequence[float],
                          U_init: np.ndarray | None = None,
-                         qoi=None, **solver_kwargs):
+                         qoi=None, xi_init_by_block=None,
+                         **solver_kwargs):
     """Imperative drive: seed FEState at t_schedule[0], run the scanned
-    trajectory under one jit, materialize history. Returns (state, J)."""
+    trajectory under one jit, materialize history. Returns (state, J).
+    ``U_init``/``xi_init_by_block`` seed a restart from a recorded
+    converged state."""
     if len(t_schedule) < 2:
         raise ValueError(
             f"t_schedule needs >= 2 entries; got {len(t_schedule)}")
 
     state = FEState.from_problem(fe_problem, t_init=t_schedule[0],
-                                 U_init=U_init)
+                                 U_init=U_init,
+                                 xi_init_by_block=xi_init_by_block)
 
     # eager cross-BC value-consistency validation at concrete step times
     dbc_arrays = fe_problem.kernel_arrays.dbc_arrays

@@ -130,12 +130,17 @@ class FEState:
 
     @classmethod
     def from_problem(cls, fe_problem: FEProblem, t_init: float = 0.0,
-                     U_init: np.ndarray | None = None) -> "FEState":
+                     U_init: np.ndarray | None = None,
+                     xi_init_by_block: dict[str, np.ndarray] | None = None
+                     ) -> "FEState":
         n_dofs = fe_problem.dof_map.num_total_dofs
         U0 = (np.zeros(n_dofs) if U_init is None else U_init.copy())
         n_ips = fe_problem.num_ips()
         xi0: dict[str, list[np.ndarray]] = {}
         for block, model in fe_problem.models_by_block.items():
+            if xi_init_by_block is not None and block in xi_init_by_block:
+                xi0[block] = [np.asarray(xi_init_by_block[block]).copy()]
+                continue
             n_elems = len(fe_problem.mesh.element_blocks[block])
             init = np.asarray(model.init_xi())
             xi0[block] = [np.tile(init, (n_elems, n_ips, 1))]

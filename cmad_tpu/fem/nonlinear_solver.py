@@ -559,18 +559,20 @@ def fe_newton_solve_host(fe_problem: FEProblem,
 def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
                               nonlinear_solver_settings: dict | None = None,
                               linear_solver_settings: dict | None = None,
-                              U_init=None):
+                              U_init=None, xi_init_by_block=None):
     """Host-driven quasi-static time loop (one Newton per step, each
     iteration a separate device dispatch). Returns
     ``(FEState, solver_log)`` where solver_log is the per-step
-    ``{"iters", "final_residual"}`` list."""
+    ``{"iters", "final_residual"}`` list. ``U_init``/``xi_init_by_block``
+    seed a restart from a recorded converged state."""
     from cmad_tpu.fem.assembly import params_by_block_from_models
     from cmad_tpu.fem.fe_problem import FEState
 
     params = params_by_block_from_models(fe_problem)
     state = FEState.from_problem(fe_problem, t_init=float(t_schedule[0]),
                                  U_init=None if U_init is None
-                                 else np.asarray(U_init))
+                                 else np.asarray(U_init),
+                                 xi_init_by_block=xi_init_by_block)
     U = jnp.asarray(state.U_at(0), dtype=config.real_dtype())
     xi = {b: jnp.asarray(state.xi_at(0, b))
           for b in fe_problem.models_by_block}

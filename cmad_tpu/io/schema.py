@@ -46,7 +46,7 @@ _SECTIONS: dict[tuple[str, str], tuple[list[str], list[str]]] = {
     ("fe", "primal"): (
         ["problem", "discretization", "residuals"],
         ["output", "dirichlet bcs", "surface flux bcs", "body forces",
-         "linear solver", "qoi"]),
+         "linear solver", "qoi", "restart"]),
     ("fe", "objective"): (
         ["problem", "discretization", "residuals", "qoi"],
         ["output", "dirichlet bcs", "surface flux bcs", "body forces",
