@@ -201,6 +201,17 @@ class GlobalResidual(ABC):
             return make_hosford_local_solve(model,
                                             **local_newton_settings)
 
+        from cmad_tpu.ops.principal_return import (
+            make_principal_hosford_local_solve,
+            principal_hosford_reducible,
+        )
+        if (principal_hosford_reducible(model)
+                and not print_local_convergence):
+            # frame-invariant isotropic yield: 4-dof Newton in the
+            # trial eigenbasis instead of the 7-dof coupled solve
+            return make_principal_hosford_local_solve(
+                model, **local_newton_settings)
+
         from cmad_tpu.ops.hill_return import (
             hill_reducible,
             make_hill_local_solve,

@@ -16,6 +16,7 @@ from jax.lax import cond
 
 from cmad_tpu.models.nonlinear_solver import make_newton_solve
 from cmad_tpu.typing import JaxArray, Scalar
+from cmad_tpu.util.jax_eigen_decomposition import compute_eigenvalues
 from cmad_tpu.verification.functions import jax_barlat_yield
 
 
@@ -25,6 +26,7 @@ def conventional_effective_stress_fun(name: str) -> Callable[..., JaxArray]:
         "hill": hill_effective_stress,
         "barlat": barlat_effective_stress,
         "hosford": hosford_effective_stress,
+        "hosford_principal": hosford_principal_effective_stress,
     }
     try:
         return table[name]
@@ -83,9 +85,19 @@ def hosford_effective_stress(cauchy: JaxArray, params: dict[str, Any]) -> JaxArr
     ``0 ** (1/a)`` produces NaN gradients that poison the whole batched
     return map."""
     a = params["effective stress"]["hosford"]["a"]
-    d01 = jnp.abs(cauchy[..., 0, 0] - cauchy[..., 1, 1])
-    d12 = jnp.abs(cauchy[..., 1, 1] - cauchy[..., 2, 2])
-    d20 = jnp.abs(cauchy[..., 2, 2] - cauchy[..., 0, 0])
+    return _hosford_phi_of_three(
+        cauchy[..., 0, 0], cauchy[..., 1, 1], cauchy[..., 2, 2], a)
+
+
+def _hosford_phi_of_three(v0: JaxArray, v1: JaxArray, v2: JaxArray,
+                          a: Scalar) -> JaxArray:
+    """Hosford combination of three (diagonal or principal) stresses,
+    rescaled by the largest pairwise difference (see
+    :func:`hosford_effective_stress` for why a von-Mises rescale is not
+    enough in float32)."""
+    d01 = jnp.abs(v0 - v1)
+    d12 = jnp.abs(v1 - v2)
+    d20 = jnp.abs(v2 - v0)
     m = jnp.maximum(jnp.maximum(d01, d12), d20)
     safe_m = jnp.where(m > 0.0, m, 1.0)
     base = 0.5 * ((d01 / safe_m) ** a + (d12 / safe_m) ** a
@@ -94,6 +106,31 @@ def hosford_effective_stress(cauchy: JaxArray, params: dict[str, Any]) -> JaxArr
     safe_base = jnp.where(m > 0.0, base, 1.0)
     phi = safe_m * safe_base ** (1.0 / a)
     return jnp.where(m > 0.0, phi, 0.0)
+
+
+def hosford_phi_of_principal(s: JaxArray, a: Scalar) -> JaxArray:
+    """Hosford effective stress of a ``(..., 3)`` vector of principal
+    stresses (any order)."""
+    return _hosford_phi_of_three(s[..., 0], s[..., 1], s[..., 2], a)
+
+
+def hosford_principal_effective_stress(
+        cauchy: JaxArray, params: dict[str, Any]) -> JaxArray:
+    """Hosford 1972 on the PRINCIPAL stresses — the textbook
+    frame-invariant form, valid for arbitrary (non-diagonal) stress
+    states. The reference's Hosford is diagonal-only (its
+    ``effective_stress.py:167`` carries "only working for diagonal
+    cauchy stress now"); this variant EXCEEDS that parity while
+    ``hosford`` keeps the reference behavior bit-for-bit. Eigenvalues
+    come from the guarded closed-form Cardano solution
+    (``util/jax_eigen_decomposition.py``), so AD gradients (the yield
+    normal) stay finite at repeated principal stresses and correct in
+    the divided-difference limit away from them; for diagonal inputs
+    the value agrees with ``hosford`` exactly."""
+    a = params["effective stress"]["hosford_principal"]["a"]
+    sym = 0.5 * (cauchy + jnp.swapaxes(cauchy, -1, -2))
+    eig = compute_eigenvalues(sym)
+    return hosford_phi_of_principal(eig, a)
 
 
 # ----------------------------------------------------------------------

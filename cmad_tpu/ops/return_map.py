@@ -126,10 +126,18 @@ def make_batched_return_map(model, max_iters: int = 10,
         make_hill_local_solve,
     )
 
+    from cmad_tpu.ops.principal_return import (
+        make_principal_hosford_local_solve,
+        principal_hosford_reducible,
+    )
+
     if specialize and hosford_reducible(model):
         solve = make_hosford_local_solve(model, max_iters=max_iters,
                                          abs_tol=abs_tol,
                                          rel_tol=rel_tol)
+    elif specialize and principal_hosford_reducible(model):
+        solve = make_principal_hosford_local_solve(
+            model, max_iters=max_iters, abs_tol=abs_tol, rel_tol=rel_tol)
     elif specialize and hill_reducible(model):
         solve = make_hill_local_solve(model, max_iters=max_iters,
                                       abs_tol=abs_tol, rel_tol=rel_tol)
