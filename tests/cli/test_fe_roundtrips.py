@@ -295,3 +295,27 @@ def test_fe_hessian_roundtrip(tmp_path, cube_exo):
     assert abs(H - H.T).max() < 1e-8 * abs(H).max()
     # the displacement-match objective is locally convex at the offset
     assert np.linalg.eigvalsh(H)[-1] > 0.0
+
+
+def test_fe_primal_hosford_principal(tmp_path, cube_exo):
+    """The frame-invariant Hosford yield drives the full CLI stack:
+    schema (enum admits hosford_principal) -> deck build -> COUPLED
+    assembly dispatching the trial-eigenbasis reduced return map ->
+    Newton -> Exodus output."""
+    import json
+
+    out = tmp_path / "out_hp"
+    deck = _plastic_deck(cube_exo, out)
+    mat = deck["residuals"]["local residual"]["materials"]["all"]
+    mat["plastic"]["effective stress"] = {"hosford_principal": {"a": 8.0}}
+    assert cmad_main(["primal", str(_write(tmp_path, deck))]) == 0
+
+    steps = json.loads((out / "solver.json").read_text())
+    assert all(s["final_residual"] < 1e-8 for s in steps)
+    res = read_results(
+        out / "cube_fe.exo",
+        nodal_field_specs=[FieldSpec("u", VarType.VECTOR)],
+        element_field_specs=[FieldSpec("alpha", VarType.SCALAR)])
+    assert np.isclose(res.nodal["u"][-1, :, 0].max(), 0.003)
+    # the drive actually went plastic
+    assert np.asarray(res.element["alpha"]["all"])[-1].max() > 0.0

@@ -113,3 +113,59 @@ def test_hill_reduced_local_solve_drives_fe_newton(monkeypatch):
             np.asarray(state_gen.U_at(step)), rtol=1e-9, atol=1e-12)
     assert float(jnp.max(jnp.asarray(
         state_fast.xi_at(2, "all"))[..., 6])) > 0.0
+
+
+def test_principal_reduced_local_solve_drives_fe_newton(monkeypatch):
+    """Same equivalence for the trial-eigenbasis principal-Hosford
+    reduction, with a material rotation in play (the configuration the
+    diagonal reduction cannot take)."""
+    import cmad_tpu.ops.principal_return as pr
+
+    R = np.array([[0.36, 0.48, -0.8],
+                  [-0.8, 0.6, 0.0],
+                  [0.48, 0.64, 0.6]])  # orthogonal (columns unit)
+
+    def _principal_problem():
+        mesh = StructuredHexMesh((1.0, 1.0, 1.0), (3, 3, 3))
+        params = Parameters({
+            "rotation matrix": R,
+            "elastic": {"E": 200e3, "nu": 0.3},
+            "plastic": {
+                "effective stress": {"hosford_principal": {"a": 8.0}},
+                "flow stress": {"initial yield": {"Y": 200.0},
+                                "hardening": {"voce": {"S": 10.0,
+                                                       "D": 2.0}}}}})
+        model = SmallElasticPlastic(params)
+        bcs = [
+            DirichletBC(["xmin_sides"], "u", [0], None),
+            DirichletBC(["ymin_sides"], "u", [1], None),
+            DirichletBC(["zmin_sides"], "u", [2], None),
+            DirichletBC(["xmax_sides"], "u", [0],
+                        lambda coords, t: 0.004 * t * jnp.ones(
+                            (coords.shape[0], 1))),
+        ]
+        dof_map = build_dof_map(mesh, [GlobalFieldLayout("u", Q1_HEX)],
+                                bcs, {"u": 3})
+        return build_fe_problem(
+            mesh, dof_map, SmallDispEquilibrium(ndims=3),
+            {"all": model},
+            modes_by_block={"all": GlobalResidualMode.COUPLED})
+
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-12)
+    fe_fast = _principal_problem()
+    state_fast, _ = fe_quasistatic_drive(fe_fast, [0.0, 0.5, 1.0])
+
+    monkeypatch.setattr(pr, "principal_hosford_kind", lambda model: None)
+    fe_gen = _principal_problem()
+    state_gen, _ = fe_quasistatic_drive(fe_gen, [0.0, 0.5, 1.0])
+
+    for step in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(state_fast.U_at(step)),
+            np.asarray(state_gen.U_at(step)), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(state_fast.xi_at(step, "all")),
+            np.asarray(state_gen.xi_at(step, "all")),
+            rtol=1e-8, atol=1e-11)
+    assert float(jnp.max(jnp.asarray(
+        state_fast.xi_at(2, "all"))[..., 6])) > 0.0

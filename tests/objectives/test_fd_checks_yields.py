@@ -37,6 +37,7 @@ _YIELDS = {
     "hill": {"hill": {"F": 0.45, "G": 0.55, "H": 0.5,
                       "L": 1.4, "M": 1.6, "N": 1.5}},
     "hosford": {"hosford": {"a": 8.0}},
+    "hosford_principal": {"hosford_principal": {"a": 8.0}},
 }
 
 
@@ -92,7 +93,8 @@ def _error_drop(errors):
 
 @pytest.mark.parametrize("model_cls", [SmallElasticPlastic,
                                        SmallRateElasticPlastic])
-@pytest.mark.parametrize("yield_name", ["hill", "hosford"])
+@pytest.mark.parametrize("yield_name", ["hill", "hosford",
+                                        "hosford_principal"])
 def test_gradient_fd_error_drop(model_cls, yield_name):
     model, qoi, F, x0 = _setup(model_cls, yield_name)
     jvp = MPJVPObjective(qoi, F, make_newton_solve(model.residual_fun))
@@ -114,6 +116,7 @@ def test_gradient_fd_error_drop(model_cls, yield_name):
 @pytest.mark.parametrize("model_cls,yield_name", [
     (SmallRateElasticPlastic, "hill"),
     (SmallElasticPlastic, "hosford"),
+    (SmallRateElasticPlastic, "hosford_principal"),
 ])
 def test_strategies_agree(model_cls, yield_name):
     model, qoi, F, x0 = _setup(model_cls, yield_name)
