@@ -40,7 +40,7 @@ def _fields(grad_u):
         grad_fields={"u": grad_u})
 
 
-def _batch(seed=0, B=64, scale=2.5e-3):
+def _batch(seed=0, B=32, scale=2.5e-3):
     rng = np.random.RandomState(seed)
     eps = rng.normal(0.0, scale, size=(B, 3, 3))
     # shrink a quarter of the batch into the elastic regime so both
