@@ -24,15 +24,25 @@ def compute_deviator_eigenvalues(A: JaxArray) -> JaxArray:
     q = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / 3.0
     B = A - q * jnp.eye(3, dtype=A.dtype)
 
-    # p^2 = tr(B^2)/6; theta from the normalized determinant
+    # p^2 = tr(B^2)/6; theta from the normalized determinant.
+    # double-where around the sqrt: at an exactly-spherical A (J2 = 0)
+    # sqrt' is infinite, and even a zero cotangent from the outer
+    # selects turns that into 0 * inf = NaN in reverse mode
     J2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
-    p = jnp.sqrt(jnp.maximum(J2, 0.0))
-    safe_p = jnp.where(p > _TINY, p, 1.0)
+    nonzero = J2 > _TINY
+    p_raw = jnp.sqrt(jnp.where(nonzero, J2, 1.0))
+    p = jnp.where(nonzero, p_raw, 0.0)
+    safe_p = jnp.where(nonzero, p_raw, 1.0)
     detB = jnp.linalg.det(B)
     r = detB / (2.0 * safe_p**3)
     # clamp away from +-1 so acos grads stay finite; the induced error is
-    # O(eps) in the eigenvalues near triple-degeneracy where they coincide
-    r = jnp.clip(r, -1.0 + 1e-12, 1.0 - 1e-12)
+    # O(eps) in the eigenvalues near triple-degeneracy where they coincide.
+    # The margin must be DTYPE-SCALED: a fixed 1e-12 is below f32 eps, so
+    # 1.0 - 1e-12 rounds to exactly 1.0 in f32 and acos' grad is inf at a
+    # degenerate pair (NaN yield normals at e.g. uniaxial stress states)
+    margin = jnp.maximum(jnp.asarray(1e-12, A.dtype),
+                         8.0 * jnp.finfo(A.dtype).eps)
+    r = jnp.clip(r, -1.0 + margin, 1.0 - margin)
     theta = jnp.arccos(r) / 3.0
 
     two_pi_3 = 2.0 * jnp.pi / 3.0
