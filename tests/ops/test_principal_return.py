@@ -223,8 +223,12 @@ def test_reduced_tangents_match_generic(cls):
                 "initial yield": {"Y": Y}}}}
         return reduced(xi_prev, xi_prev, p, _fields(gu), _fields(gu0))
 
-    gY = jax.jacfwd(gen_of_Y)(200.0)
-    rY = jax.jacfwd(red_of_Y)(200.0)
+    # plain jvp, not jacfwd: the scalar tangent needs no vmap, and the
+    # BATCHED while_loop jacfwd builds here has segfaulted XLA:CPU's
+    # compiler when run late in the full suite (compile-state
+    # dependent; fine standalone). jvp compiles the unbatched loop.
+    gY = jax.jvp(gen_of_Y, (200.0,), (1.0,))[1]
+    rY = jax.jvp(red_of_Y, (200.0,), (1.0,))[1]
     np.testing.assert_allclose(np.asarray(rY), np.asarray(gY),
                                rtol=1e-6, atol=1e-12)
 
