@@ -43,6 +43,12 @@ Tangents come for free: the reduced solve runs under
 ``custom_jvp``), the trial eigenvalues are differentiable through the
 guarded Cardano closed form, and the reconstruction is plain
 differentiable arithmetic.
+
+Measured (r2, CPU f64, 20k-point plastic batch, a=100): 16,522
+updates/s reduced vs 871 generic — 19x. The generic 7-dof path pays
+the full tensor eigendecomposition (and its AD) inside EVERY Newton
+iteration's residual/Jacobian; the reduction decomposes the trial
+state once and iterates on four principal values.
 """
 from __future__ import annotations
 
