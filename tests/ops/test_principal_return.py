@@ -282,3 +282,40 @@ def test_dispatched_from_batched_return_map_and_fe():
                   _fields(grad_u[0]), _fields(gu0[0]))
     np.testing.assert_allclose(np.asarray(xi_fe), np.asarray(xi_g[0]),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_exponent_tangent_matches_generic_and_fd():
+    """d(xi)/da — calibrating the yield-surface SHAPE — flows correctly
+    through the reduced solve (the exponent enters via the in-solve
+    phi evaluations, not the trial state)."""
+    params = _params(8.0)
+    model = SmallRateElasticPlastic(params)
+    generic = make_newton_solve(model.residual_fun, max_iters=40)
+    reduced = make_principal_hosford_local_solve(model, max_iters=40)
+
+    gu = jnp.asarray(np.diag([3.0e-3, -1.0e-3, -0.5e-3])
+                     + 0.6e-3 * (np.ones((3, 3)) - np.eye(3)))
+    gu0 = jnp.zeros((3, 3))
+    xi_prev = jnp.zeros(model.num_dofs)
+
+    def with_a(solve):
+        def f(a):
+            p = {**params.values, "plastic": {
+                **params.values["plastic"],
+                "effective stress": {"hosford_principal": {"a": a}}}}
+            return solve(xi_prev, xi_prev, p, _fields(gu), _fields(gu0))
+        return f
+
+    gen_of_a = with_a(generic)
+    red_of_a = with_a(reduced)
+    assert float(gen_of_a(8.0)[6]) > 0.0  # plastic
+
+    ga = jax.jvp(gen_of_a, (8.0,), (1.0,))[1]
+    ra = jax.jvp(red_of_a, (8.0,), (1.0,))[1]
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(ga),
+                               rtol=1e-6, atol=1e-12)
+
+    h = 1e-4
+    fd = (np.asarray(gen_of_a(8.0 + h)) - np.asarray(gen_of_a(8.0 - h))) \
+        / (2 * h)
+    np.testing.assert_allclose(np.asarray(ra), fd, rtol=5e-5, atol=1e-10)
