@@ -141,3 +141,19 @@ def test_hessians_agree_hill():
                                atol=1e-10 * np.abs(H_jvp).max())
     # symmetric and (near a minimum basin) finite
     np.testing.assert_allclose(H_jvp, H_jvp.T, rtol=1e-8)
+
+
+def test_hessians_agree_hosford_principal():
+    """Second-order AD through the frame-invariant Hosford: the
+    direct-adjoint Hessian (hand-assembled second-order formula over
+    the model's jitted Hessian blocks) equals the fully-traced
+    jax.hessian of the JVP objective — through the eigenvalue closed
+    form and nested custom_jvp solves."""
+    model, qoi, F, x0 = _setup(SmallRateElasticPlastic,
+                               "hosford_principal")
+    r_da = MPDirectAdjointObjective(qoi, F).evaluate(x0)
+    jvp = MPJVPObjective(qoi, F, make_newton_solve(model.residual_fun))
+    H_jvp = np.asarray(jvp.evaluate_hessian(x0))
+    np.testing.assert_allclose(r_da.hessian, H_jvp, rtol=1e-5,
+                               atol=1e-10 * np.abs(H_jvp).max())
+    np.testing.assert_allclose(H_jvp, H_jvp.T, rtol=1e-8)
