@@ -267,3 +267,49 @@ def test_text_output_format(workspace):
     flat = np.loadtxt(out / "cauchy.csv", delimiter=",")
     assert flat.shape[0] == NUM_STEPS + 1
     assert (out / "xi.csv").exists()
+
+
+_YIELD_SECTIONS = {
+    "hill": {"hill": {k: {"value": v} for k, v in (
+        ("F", 0.45), ("G", 0.55), ("H", 0.5),
+        ("L", 1.4), ("M", 1.6), ("N", 1.5))}},
+    "hosford": {"hosford": {"a": {"value": 8.0}}},
+    "hosford_principal": {"hosford_principal": {"a": {"value": 8.0}}},
+}
+
+
+@pytest.mark.parametrize("yield_name", sorted(_YIELD_SECTIONS))
+def test_primal_roundtrip_yield_families(yield_name, tmp_path):
+    """MP primal through the console entry for every non-J2 yield
+    family (FULL_3D strain-controlled ramp through yield)."""
+    num_steps = 8
+    eps = np.r_[0.0, np.linspace(0.0008, 0.012, num_steps)]
+    F = np.repeat(np.eye(3)[:, :, None], num_steps + 1, axis=2)
+    F[0, 0, :] += eps
+    F[1, 1, :] -= 0.45 * eps
+    F[2, 2, :] -= 0.45 * eps
+    np.save(tmp_path / "F.npy", F)
+
+    params = _params_section()
+    params["plastic"]["effective stress"] = _YIELD_SECTIONS[yield_name]
+    deck = {
+        "problem": {"type": "material_point",
+                    "name": f"primal_{yield_name}"},
+        "model": {"name": "small_rate_elastic_plastic",
+                  "def_type": "full_3d"},
+        "parameters": params,
+        "deformation": {"history_file": str(tmp_path / "F.npy")},
+        "solver": {"newton": {}},
+        "output": {"path": str(tmp_path / "out")},
+    }
+    path = tmp_path / "deck.yaml"
+    path.write_text(yaml.safe_dump(deck))
+    assert cmad_main(["primal", str(path)]) == 0
+
+    out = tmp_path / "out"
+    solver_log = json.loads((out / "solver.json").read_text())
+    assert len(solver_log) == num_steps
+    assert all(e["final_residual"] < 1e-10 for e in solver_log)
+    xi = np.load(out / "xi.npy")
+    assert xi[-1, 6] > 0.0  # the ramp went plastic
+    assert np.isfinite(np.load(out / "cauchy.npy")).all()
