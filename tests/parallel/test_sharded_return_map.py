@@ -76,3 +76,45 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_principal_hosford_matches_single_device():
+    """The frame-invariant Hosford reduction shards like any other
+    point kernel: specialize=True dispatches the trial-eigenbasis
+    solve, XLA partitions it with zero collectives, numerics match
+    the single-device run exactly."""
+    from cmad_tpu.parameters.parameters import Parameters
+
+    params = Parameters({
+        "rotation matrix": np.eye(3),
+        "elastic": {"E": 200e3, "nu": 0.3},
+        "plastic": {
+            "effective stress": {"hosford_principal": {"a": 8.0}},
+            "flow stress": {"initial yield": {"Y": 200.0},
+                            "hardening": {"voce": {"S": 200.0,
+                                                   "D": 20.0}}}}})
+    model = SmallRateElasticPlastic(params)
+    batch = 64
+    rng = np.random.RandomState(3)
+    grad_u = jnp.asarray(rng.normal(0.0, 2.5e-3, size=(batch, 3, 3)))
+    grad_u_prev = jnp.zeros((batch, 3, 3))
+    xi_prev = jnp.zeros((batch, model.num_dofs))
+
+    step_single = make_batched_return_map(model, specialize=True)
+    xi_s, sigma_s = step_single(xi_prev, grad_u, grad_u_prev,
+                                params.values)
+
+    mesh = element_mesh()
+    step_sharded = make_sharded_return_map(model, mesh, specialize=True)
+    shard = shard_points(mesh)
+    xi_m = jax.device_put(xi_prev, shard)
+    gu_m = jax.device_put(grad_u, shard)
+    gu0_m = jax.device_put(grad_u_prev, shard)
+    pv_m = jax.device_put(params.values, replicated(mesh))
+    xi_p, sigma_p = step_sharded(xi_m, gu_m, gu0_m, pv_m)
+
+    assert (np.asarray(xi_s[:, 6]) > 0).any()  # plastic points exist
+    np.testing.assert_allclose(np.asarray(xi_p), np.asarray(xi_s),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(sigma_p), np.asarray(sigma_s),
+                               rtol=1e-12, atol=1e-13)
