@@ -319,3 +319,47 @@ def test_fe_primal_hosford_principal(tmp_path, cube_exo):
     assert np.isclose(res.nodal["u"][-1, :, 0].max(), 0.003)
     # the drive actually went plastic
     assert np.asarray(res.element["alpha"]["all"])[-1].max() > 0.0
+
+
+def test_fe_calibrate_recovers_yield_stress_hosford_principal(
+        tmp_path, cube_exo):
+    """Recover the initial yield stress Y under the FRAME-INVARIANT
+    Hosford yield — the calibrate CLI drives scipy L-BFGS through
+    jit(value_and_grad) of the scanned trajectory with the
+    trial-eigenbasis reduction dispatched."""
+    import json
+
+    def _hp_deck(out, Y=200.0, active=False):
+        deck = _plastic_deck(cube_exo, out)
+        mat = deck["residuals"]["local residual"]["materials"]["all"]
+        mat["plastic"]["effective stress"] = {
+            "hosford_principal": {"a": 8.0}}
+        y_leaf = {"value": Y}
+        if active:
+            y_leaf.update(active=True,
+                          transform={"bounds": [150.0, 260.0]})
+        mat["plastic"]["flow stress"]["initial yield"]["Y"] = y_leaf
+        return deck
+
+    out_truth = tmp_path / "truth"
+    assert cmad_main(["primal",
+                      str(_write(tmp_path, _hp_deck(out_truth)))]) == 0
+    res = read_results(out_truth / "cube_fe.exo",
+                       nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+    np.save(tmp_path / "u_data.npy", res.nodal["u"])
+
+    deck = _hp_deck(tmp_path / "cal", Y=230.0, active=True)
+    deck["qoi"] = {"name": "fe_displacement_match",
+                   "data_file": str(tmp_path / "u_data.npy"),
+                   "weight": 1.0e9}
+    deck["optimizer"] = {"algorithm": "L-BFGS-B",
+                         "options": {"maxiter": 60, "ftol": 1e-14}}
+    assert cmad_main(["calibrate",
+                      str(_write(tmp_path, deck, "cal.yaml"))]) == 0
+
+    out = tmp_path / "cal"
+    status = json.loads((out / "opt_status.json").read_text())
+    assert status["fun"] < 1e-6
+    active = json.loads((out / "active_params.json").read_text())
+    Y_fit = active["all.plastic.flow_stress.initial_yield.Y"]
+    assert abs(Y_fit - 200.0) / 200.0 < 5e-3
