@@ -8,6 +8,7 @@ rejected. Numeric literals short-circuit to constant callables.
 """
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from typing import Any
 
@@ -47,6 +48,10 @@ def parse_scalar_expression(
             f"boolean deck value {expr!r} is not a valid expression")
     if isinstance(expr, (int, float)):
         value = float(expr)
+        if not math.isfinite(value):
+            raise ExpressionError(
+                f"non-finite numeric deck value {expr!r} is not a valid "
+                "expression")
 
         def constant(**kwargs: Any):
             return value
@@ -64,6 +69,13 @@ def parse_scalar_expression(
         raise ExpressionError(f"failed to parse expression {expr!r}: {e}") \
             from e
 
+    if not isinstance(parsed, sympy.Basic):
+        # attribute access like "x.__class__" evaluates to non-expression
+        # Python objects; reject anything that is not sympy math
+        raise ExpressionError(
+            f"expression {expr!r} does not evaluate to a scalar "
+            f"expression (got {type(parsed).__name__})")
+
     if parsed.atoms(AppliedUndef):
         bad = sorted(str(f.func) for f in parsed.atoms(AppliedUndef))
         raise ExpressionError(
@@ -80,6 +92,11 @@ def parse_scalar_expression(
     compiled = sympy.lambdify(ordered, parsed, modules="jax")
 
     def fn(**kwargs: Any):
+        missing = [n for n in names if n not in kwargs]
+        if missing:
+            raise ExpressionError(
+                f"expression {expr!r} called without required keyword "
+                f"argument(s) {missing}; expected {list(names)}")
         return compiled(*[kwargs[n] for n in names])
 
     return fn

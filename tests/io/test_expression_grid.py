@@ -79,3 +79,46 @@ def test_boolean_and_non_string_rejected():
 def test_numeric_literal_ignores_coordinates():
     fn = parse_scalar_expression(7, _NAMES)
     assert fn(x=123.0, y=0.0, z=0.0, t=9.0) == 7.0
+
+
+def test_non_finite_literal_rejected():
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ExpressionError, match="non-finite"):
+            parse_scalar_expression(bad, _NAMES)
+
+
+def test_scientific_notation_and_negative_literal_strings():
+    fn = parse_scalar_expression("-2.5e-3", _NAMES)
+    val = float(fn(x=0.0, y=0.0, z=0.0, t=0.0))
+    assert np.isclose(val, -2.5e-3)
+
+
+def test_euler_constant_available():
+    fn = parse_scalar_expression("E", _NAMES)
+    assert np.isclose(float(fn(x=0.0, y=0.0, z=0.0, t=0.0)), np.e)
+
+
+def test_missing_kwarg_raises_expression_error():
+    fn = parse_scalar_expression("x + t", _NAMES)
+    with pytest.raises(ExpressionError, match="keyword argument"):
+        fn(x=1.0, y=0.0, z=0.0)  # t missing
+
+
+def test_getattr_and_dunder_rejected():
+    for expr in ("getattr(x, 'real')", "x.__class__"):
+        with pytest.raises(ExpressionError):
+            parse_scalar_expression(expr, _NAMES)
+
+
+def test_repeated_calls_consistent_and_parsers_independent():
+    f1 = parse_scalar_expression("x * t", _NAMES)
+    f2 = parse_scalar_expression("x + t", _NAMES)
+    args = dict(x=3.0, y=0.0, z=0.0, t=2.0)
+    for _ in range(3):
+        assert float(f1(**args)) == 6.0
+        assert float(f2(**args)) == 5.0
+
+
+def test_unused_name_is_harmless():
+    fn = parse_scalar_expression("y", _NAMES)
+    assert float(fn(x=99.0, y=4.0, z=98.0, t=97.0)) == 4.0
