@@ -296,6 +296,34 @@ class ExodusWriter:
         ``nodal_values``: var name -> (num_nodes,) array;
         ``element_values``: var name -> {block name -> (n_elems_b,)}.
         """
+        n_nodes = self._mesh.nodes.shape[0]
+        for name, vals in (nodal_values or {}).items():
+            if name not in self._nodal:
+                raise ValueError(
+                    f"nodal variable {name!r} not in the writer schema "
+                    f"{self._nodal}; schemas are fixed at open")
+            vals = np.asarray(vals, dtype=float)
+            if vals.shape != (n_nodes,):
+                raise ValueError(
+                    f"nodal variable {name!r}: shape {vals.shape} != "
+                    f"({n_nodes},)")
+        for name, by_block in (element_values or {}).items():
+            if name not in self._elem:
+                raise ValueError(
+                    f"element variable {name!r} not in the writer schema "
+                    f"{self._elem}; schemas are fixed at open")
+            for bname, vals in by_block.items():
+                if bname not in self._block_names:
+                    raise ValueError(
+                        f"element variable {name!r}: unknown block "
+                        f"{bname!r}; blocks: {self._block_names}")
+                vals = np.asarray(vals, dtype=float)
+                n_b = len(self._mesh.element_blocks[bname])
+                if vals.shape != (n_b,):
+                    raise ValueError(
+                        f"element variable {name!r} block {bname!r}: "
+                        f"shape {vals.shape} != ({n_b},)")
+
         s = self._num_steps
         self._nc.variables["time_whole"][s] = float(t)
         for name, vals in (nodal_values or {}).items():
