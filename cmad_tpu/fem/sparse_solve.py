@@ -349,7 +349,14 @@ def _cg_residual_replacement(matvec, precon, rhs, rtol, max_iters):
 def jax_cg(K_data: JaxArray, sparsity: EmbeddedSparsity, b: JaxArray,
            rtol: float = 1e-10, max_iters: int | None = None) -> JaxArray:
     """Jacobi-preconditioned CG (SPD K) with residual replacement,
-    fully traceable/vmappable; AD via symmetric custom_linear_solve."""
+    fully traceable/vmappable; AD via symmetric custom_linear_solve.
+
+    AD contract: ``symmetric=True`` asserts transpose(K) == K for the
+    operator and its differentiation tangents. FE assembly of symmetric
+    weak forms preserves this for every physical-parameter direction;
+    differentiating w.r.t. raw K_data along a symmetry-breaking
+    direction is outside the contract (second order would silently use
+    dK in place of dK^T) — use gmres for nonsymmetric operators."""
     _, matvec, precon = _jacobi_setup(K_data, sparsity)
 
     def solve(_mv, rhs):
