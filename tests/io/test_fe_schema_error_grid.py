@@ -141,3 +141,32 @@ def test_body_forces_fragment_rejects_bad_entry():
     deck["body forces"] = {"b": "not-a-component-list"}
     with pytest.raises(ValueError, match="body force"):
         validate_deck(apply_deck_defaults(deck), "primal")
+
+
+def test_two_time_specs_simultaneously_error():
+    deck = _fe_deck()
+    deck["discretization"]["times"] = [0.0, 1.0]
+    with pytest.raises(ValueError, match="discretization"):
+        validate_deck(apply_deck_defaults(deck), "primal")
+
+
+def test_no_time_spec_errors():
+    deck = _fe_deck()
+    deck["discretization"].pop("num steps", None)
+    deck["discretization"].pop("step size", None)
+    with pytest.raises(ValueError, match="discretization"):
+        validate_deck(apply_deck_defaults(deck), "primal")
+
+
+def test_fe_deck_validates_without_output():
+    deck = _fe_deck()
+    deck.pop("output", None)
+    validate_deck(apply_deck_defaults(deck), "primal")
+
+
+def test_times_file_form_validates():
+    deck = _fe_deck()
+    deck["discretization"].pop("num steps", None)
+    deck["discretization"].pop("step size", None)
+    deck["discretization"]["times file"] = "times.npy"
+    validate_deck(apply_deck_defaults(deck), "primal")
