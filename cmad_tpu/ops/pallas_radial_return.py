@@ -44,20 +44,21 @@ def _kernel(scalars_ref, packed_ref, out_ref):
     S = scalars_ref[3]
     D = scalars_ref[4]
 
-    sp = packed_ref[0:6, :]          # sigma_prev rows
+    # per-row ref loads (block loads + value slicing cost sublane
+    # relayouts per extract — see _kernel_soa)
     alpha_prev = packed_ref[6:7, :]
-    de = packed_ref[7:13, :]         # delta strain rows
 
     # elastic predictor: dsig = lam tr(de) I + 2 mu de
-    tr = de[0:1, :] + de[3:4, :] + de[5:6, :]
+    # rows 0:6 sigma_prev, rows 7:13 delta strain
+    tr = packed_ref[7:8, :] + packed_ref[10:11, :] + packed_ref[12:13, :]
     two_mu = 2.0 * mu
     diag = lam * tr
-    s_tr0 = sp[0:1, :] + diag + two_mu * de[0:1, :]
-    s_tr3 = sp[3:4, :] + diag + two_mu * de[3:4, :]
-    s_tr5 = sp[5:6, :] + diag + two_mu * de[5:6, :]
-    s_tr1 = sp[1:2, :] + two_mu * de[1:2, :]
-    s_tr2 = sp[2:3, :] + two_mu * de[2:3, :]
-    s_tr4 = sp[4:5, :] + two_mu * de[4:5, :]
+    s_tr0 = packed_ref[0:1, :] + diag + two_mu * packed_ref[7:8, :]
+    s_tr3 = packed_ref[3:4, :] + diag + two_mu * packed_ref[10:11, :]
+    s_tr5 = packed_ref[5:6, :] + diag + two_mu * packed_ref[12:13, :]
+    s_tr1 = packed_ref[1:2, :] + two_mu * packed_ref[8:9, :]
+    s_tr2 = packed_ref[2:3, :] + two_mu * packed_ref[9:10, :]
+    s_tr4 = packed_ref[4:5, :] + two_mu * packed_ref[11:12, :]
 
     p_tr = (s_tr0 + s_tr3 + s_tr5) / 3.0
     d0 = s_tr0 - p_tr
@@ -70,15 +71,16 @@ def _kernel(scalars_ref, packed_ref, out_ref):
     f_trial = phi_tr - Y - S * (1.0 - jnp.exp(-D * alpha_prev))
     plastic = f_trial > 0.0
 
-    def newton(_, dg):
+    # statically unrolled: a lax.fori_loop here is a REAL loop in the
+    # Mosaic kernel and costs ~3x end-to-end (measured r2: 1.2 vs
+    # 3.3 G updates/s on the SoA form); eight unrolled iterations of
+    # ~10 VPU ops fuse into the surrounding elementwise pass instead
+    dg = jnp.zeros_like(alpha_prev)
+    for _ in range(_NEWTON_ITERS):
         e = jnp.exp(-D * (alpha_prev + dg))
         g = phi_tr - 3.0 * mu * dg - Y - S * (1.0 - e)
         dgd = -3.0 * mu - S * D * e
-        dg_new = dg - g / dgd
-        return jnp.where(plastic, jnp.maximum(dg_new, 0.0), 0.0)
-
-    dg = jax.lax.fori_loop(0, _NEWTON_ITERS, newton,
-                           jnp.zeros_like(alpha_prev))
+        dg = jnp.where(plastic, jnp.maximum(dg - g / dgd, 0.0), 0.0)
 
     safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
     scale = jnp.where(plastic, 3.0 * mu * dg / safe_phi, 0.0)
@@ -111,6 +113,130 @@ def _call(packed: JaxArray, scalars: JaxArray,
     )(scalars, packed)
 
 
+# lanes per grid step for the SoA kernel: 8 rows x 8192 f32 = 256 KiB
+# per buffer; measured at 4M points this is the best tile (2.46 G
+# updates/s scanned, 3.26 G unrolled vs 1.9 G at 2048)
+_TILE_SOA = 8192
+
+
+def _kernel_soa(scalars_ref, xi_ref, de_ref, out_ref):
+    """Component-major radial return: state and strain increment arrive
+    as separate (8, tile) row blocks (contract in
+    ops/j2_radial_return.py SoA section); no AoS<->SoA transposes
+    anywhere in the pass."""
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    # slice ROWS off the refs directly: loading a (6, tile) block and
+    # value-slicing it costs sublane relayouts per extract (~2.5x
+    # end-to-end, measured r2); per-row ref loads are free
+    alpha_prev = xi_ref[6:7, :]
+
+    tr = de_ref[0:1, :] + de_ref[3:4, :] + de_ref[5:6, :]
+    two_mu = 2.0 * mu
+    diag = lam * tr
+    s_tr0 = xi_ref[0:1, :] + diag + two_mu * de_ref[0:1, :]
+    s_tr1 = xi_ref[1:2, :] + two_mu * de_ref[1:2, :]
+    s_tr2 = xi_ref[2:3, :] + two_mu * de_ref[2:3, :]
+    s_tr3 = xi_ref[3:4, :] + diag + two_mu * de_ref[3:4, :]
+    s_tr4 = xi_ref[4:5, :] + two_mu * de_ref[4:5, :]
+    s_tr5 = xi_ref[5:6, :] + diag + two_mu * de_ref[5:6, :]
+
+    p_tr = (s_tr0 + s_tr3 + s_tr5) / 3.0
+    d0 = s_tr0 - p_tr
+    d3 = s_tr3 - p_tr
+    d5 = s_tr5 - p_tr
+    phi_sq = d0 * d0 + d3 * d3 + d5 * d5 + \
+        2.0 * (s_tr1 * s_tr1 + s_tr2 * s_tr2 + s_tr4 * s_tr4)
+    phi_tr = jnp.sqrt(1.5 * phi_sq)
+
+    f_trial = phi_tr - Y - S * (1.0 - jnp.exp(-D * alpha_prev))
+    plastic = f_trial > 0.0
+
+    # statically unrolled: a lax.fori_loop here is a REAL loop in the
+    # Mosaic kernel and costs ~3x end-to-end (measured r2: 1.2 vs
+    # 3.3 G updates/s on the SoA form); eight unrolled iterations of
+    # ~10 VPU ops fuse into the surrounding elementwise pass instead
+    dg = jnp.zeros_like(alpha_prev)
+    for _ in range(_NEWTON_ITERS):
+        e = jnp.exp(-D * (alpha_prev + dg))
+        g = phi_tr - 3.0 * mu * dg - Y - S * (1.0 - e)
+        dgd = -3.0 * mu - S * D * e
+        dg = jnp.where(plastic, jnp.maximum(dg - g / dgd, 0.0), 0.0)
+
+    safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
+    scale = jnp.where(plastic, 3.0 * mu * dg / safe_phi, 0.0)
+
+    out_ref[0:1, :] = s_tr0 - scale * d0
+    out_ref[1:2, :] = s_tr1 - scale * s_tr1
+    out_ref[2:3, :] = s_tr2 - scale * s_tr2
+    out_ref[3:4, :] = s_tr3 - scale * d3
+    out_ref[4:5, :] = s_tr4 - scale * s_tr4
+    out_ref[5:6, :] = s_tr5 - scale * d5
+    out_ref[6:7, :] = alpha_prev + dg
+    out_ref[7:8, :] = jnp.zeros_like(alpha_prev)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_soa(xi_soa: JaxArray, de_soa: JaxArray, scalars: JaxArray,
+              interpret: bool = False) -> JaxArray:
+    B = xi_soa.shape[1]
+    grid = (B // _TILE_SOA,)
+    return pl.pallas_call(
+        _kernel_soa,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec((8, _TILE_SOA), lambda i, s: (0, i)),
+                      pl.BlockSpec((8, _TILE_SOA), lambda i, s: (0, i))],
+            out_specs=pl.BlockSpec((8, _TILE_SOA), lambda i, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, B), xi_soa.dtype),
+        interpret=interpret,
+    )(scalars, xi_soa, de_soa)
+
+
+def _material_scalars(params, dtype):
+    ec = ElasticConstants.from_params(params["elastic"])
+    plastic = params["plastic"]
+    return jnp.stack([
+        ec.mu, ec.lmbda,
+        plastic["flow stress"]["initial yield"]["Y"],
+        plastic["flow stress"]["hardening"]["voce"]["S"],
+        plastic["flow stress"]["hardening"]["voce"]["D"],
+    ]).astype(dtype)
+
+
+def make_pallas_j2_radial_return_soa(parameters,
+                                     interpret: bool | None = None):
+    """Component-major Pallas radial return:
+    ``step(xi_soa: (8, N), de_soa: (8, N), params) -> (8, N)`` — the
+    contract documented in ops/j2_radial_return.py's SoA section, with
+    semantics identical to :func:`make_j2_radial_return_soa`. The
+    throughput kernel for streamed histories: no transposes, no sigma
+    materialization (rate-form stress IS the state). ``interpret=None``
+    auto-enables interpreter mode off-TPU."""
+    del parameters
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def step(xi_soa: JaxArray, de_soa: JaxArray, params) -> JaxArray:
+        scalars = _material_scalars(params, xi_soa.dtype)
+        B = xi_soa.shape[1]
+        pad = (-B) % _TILE_SOA
+        if pad:
+            xi_soa = jnp.pad(xi_soa, ((0, 0), (0, pad)))
+            de_soa = jnp.pad(de_soa, ((0, 0), (0, pad)))
+        out = _call_soa(xi_soa, de_soa, scalars, interpret=interpret)
+        return out[:, :B] if pad else out
+
+    return jax.jit(step)
+
+
 def _kernel_total(scalars_ref, packed_ref, out_ref):
     """Total-form variant: rows 0:6 plastic strain, 6 alpha, 7:13 total
     strain in; rows 0:6 plastic strain, 6 alpha, 7:13 stress out."""
@@ -120,17 +246,18 @@ def _kernel_total(scalars_ref, packed_ref, out_ref):
     S = scalars_ref[3]
     D = scalars_ref[4]
 
-    pe = packed_ref[0:6, :]
+    # per-row ref loads (block loads + value slicing cost sublane
+    # relayouts per extract — see _kernel_soa)
     alpha_prev = packed_ref[6:7, :]
-    eps = packed_ref[7:13, :]
 
     # trial stress from the elastic strain eps - pe
-    e0 = eps[0:1, :] - pe[0:1, :]
-    e1 = eps[1:2, :] - pe[1:2, :]
-    e2 = eps[2:3, :] - pe[2:3, :]
-    e3 = eps[3:4, :] - pe[3:4, :]
-    e4 = eps[4:5, :] - pe[4:5, :]
-    e5 = eps[5:6, :] - pe[5:6, :]
+    # (rows 0:6 plastic strain pe, rows 7:13 total strain eps)
+    e0 = packed_ref[7:8, :] - packed_ref[0:1, :]
+    e1 = packed_ref[8:9, :] - packed_ref[1:2, :]
+    e2 = packed_ref[9:10, :] - packed_ref[2:3, :]
+    e3 = packed_ref[10:11, :] - packed_ref[3:4, :]
+    e4 = packed_ref[11:12, :] - packed_ref[4:5, :]
+    e5 = packed_ref[12:13, :] - packed_ref[5:6, :]
     tr = e0 + e3 + e5
     two_mu = 2.0 * mu
     diag = lam * tr
@@ -152,25 +279,26 @@ def _kernel_total(scalars_ref, packed_ref, out_ref):
     f_trial = phi_tr - Y - S * (1.0 - jnp.exp(-D * alpha_prev))
     plastic = f_trial > 0.0
 
-    def newton(_, dg):
+    # statically unrolled: a lax.fori_loop here is a REAL loop in the
+    # Mosaic kernel and costs ~3x end-to-end (measured r2: 1.2 vs
+    # 3.3 G updates/s on the SoA form); eight unrolled iterations of
+    # ~10 VPU ops fuse into the surrounding elementwise pass instead
+    dg = jnp.zeros_like(alpha_prev)
+    for _ in range(_NEWTON_ITERS):
         e = jnp.exp(-D * (alpha_prev + dg))
         g = phi_tr - 3.0 * mu * dg - Y - S * (1.0 - e)
         dgd = -3.0 * mu - S * D * e
-        dg_new = dg - g / dgd
-        return jnp.where(plastic, jnp.maximum(dg_new, 0.0), 0.0)
-
-    dg = jax.lax.fori_loop(0, _NEWTON_ITERS, newton,
-                           jnp.zeros_like(alpha_prev))
+        dg = jnp.where(plastic, jnp.maximum(dg - g / dgd, 0.0), 0.0)
 
     safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
     coef = jnp.where(plastic, 1.5 * dg / safe_phi, 0.0)
 
-    out_ref[0:1, :] = pe[0:1, :] + coef * d0
-    out_ref[1:2, :] = pe[1:2, :] + coef * s_tr1
-    out_ref[2:3, :] = pe[2:3, :] + coef * s_tr2
-    out_ref[3:4, :] = pe[3:4, :] + coef * d3
-    out_ref[4:5, :] = pe[4:5, :] + coef * s_tr4
-    out_ref[5:6, :] = pe[5:6, :] + coef * d5
+    out_ref[0:1, :] = packed_ref[0:1, :] + coef * d0
+    out_ref[1:2, :] = packed_ref[1:2, :] + coef * s_tr1
+    out_ref[2:3, :] = packed_ref[2:3, :] + coef * s_tr2
+    out_ref[3:4, :] = packed_ref[3:4, :] + coef * d3
+    out_ref[4:5, :] = packed_ref[4:5, :] + coef * s_tr4
+    out_ref[5:6, :] = packed_ref[5:6, :] + coef * d5
     out_ref[6:7, :] = alpha_prev + dg
     out_ref[7:8, :] = s_tr0 - two_mu * coef * d0
     out_ref[8:9, :] = s_tr1 - two_mu * coef * s_tr1

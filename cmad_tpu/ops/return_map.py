@@ -162,6 +162,49 @@ def make_batched_return_map(model, max_iters: int = 10,
     return jax.jit(batched)
 
 
+def make_soa_radial_return(parameters):
+    """The component-major (SoA) J2+Voce radial return for the current
+    backend: the Pallas TPU kernel on TPU, the XLA-fused form elsewhere.
+    Contract (``ops/j2_radial_return.py`` SoA section):
+    ``step(xi_soa: (8, N), de_soa: (8, N), params) -> (8, N)``.
+
+    This is the layout for workloads that HOLD state across dispatches
+    — time-stepped point histories and calibration ensembles — where
+    the AoS ``(N, 7)`` layout would put 7 components on the 128-wide
+    TPU lane axis and waste ~18x the bandwidth at every jit boundary.
+    """
+    if jax.default_backend() == "tpu":
+        from cmad_tpu.ops.pallas_radial_return import (
+            make_pallas_j2_radial_return_soa,
+        )
+        return make_pallas_j2_radial_return_soa(parameters)
+    from cmad_tpu.ops.j2_radial_return import make_j2_radial_return_soa
+    return make_j2_radial_return_soa(parameters)
+
+
+def make_j2_history_drive(parameters, record_alpha: bool = False):
+    """Batched J2+Voce history driver, component-major throughout:
+    ``drive(xi0_soa: (8, N), de_hist: (T, 8, N), params)`` scans the
+    strain-increment history carrying the (8, N) state — the
+    million-point analogue of the reference's per-point MP primal loop
+    (``cmad/cli/primal.py:129``), with the whole history one compiled
+    XLA program. Returns the final state, or ``(final, alpha_hist)``
+    with ``alpha_hist: (T, N)`` when ``record_alpha`` (the accumulated
+    plastic strain per step — the cheap-to-record scalar QoI; recording
+    full stress histories would triple the HBM traffic)."""
+    step = make_soa_radial_return(parameters)
+
+    def drive(xi0_soa, de_hist, params):
+        def one(xi, de):
+            xi_new = step(xi, de, params)
+            return xi_new, (xi_new[6] if record_alpha else None)
+
+        xi_fin, alphas = jax.lax.scan(one, xi0_soa, de_hist)
+        return (xi_fin, alphas) if record_alpha else xi_fin
+
+    return jax.jit(drive)
+
+
 def make_sharded_return_map(model, mesh, axis_name: str = "elem",
                             **newton_kwargs):
     """Return-map step sharded over a device mesh's element axis.

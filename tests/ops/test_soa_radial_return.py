@@ -1,0 +1,128 @@
+"""Component-major (SoA) radial-return contract: XLA and Pallas forms
+agree with the AoS production kernel, helpers round-trip, and the
+history drive matches step-by-step application.
+
+Pallas runs in interpreter mode on the CPU test platform; the same
+kernel compiles natively on TPU (benchmarked in bench.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from cmad_tpu.ops.j2_radial_return import (
+    make_j2_radial_return,
+    make_j2_radial_return_soa,
+    pack_state_soa,
+    strain_increment_soa,
+    stress_from_state_soa,
+    unpack_state_soa,
+)
+from cmad_tpu.ops.pallas_radial_return import (
+    make_pallas_j2_radial_return_soa,
+)
+from cmad_tpu.ops.return_map import make_j2_history_drive
+
+from tests.support.problems import J2AnalyticalProblem
+
+
+def _mixed_batch(B, seed=0, scale=1.5e-3):
+    rng = np.random.RandomState(seed)
+    eps = rng.normal(0.0, scale, size=(B, 3, 3))
+    eps = 0.5 * (eps + np.transpose(eps, (0, 2, 1)))
+    return jnp.asarray(eps)
+
+
+def test_soa_helpers_round_trip():
+    rng = np.random.RandomState(1)
+    xi = jnp.asarray(rng.normal(size=(37, 7)))
+    soa = pack_state_soa(xi)
+    assert soa.shape == (8, 37)
+    assert np.allclose(np.asarray(unpack_state_soa(soa)), np.asarray(xi))
+    # stress reconstruction is the symmetric tensor of rows 0:6
+    sig = stress_from_state_soa(soa)
+    assert sig.shape == (37, 3, 3)
+    assert np.allclose(np.asarray(sig), np.swapaxes(np.asarray(sig), 1, 2))
+    assert np.allclose(np.asarray(sig[:, 0, 1]), np.asarray(xi[:, 1]))
+    assert np.allclose(np.asarray(sig[:, 2, 2]), np.asarray(xi[:, 5]))
+
+
+def test_xla_soa_matches_aos_kernel():
+    problem = J2AnalyticalProblem()
+    params = problem.J2_parameters
+
+    B = 221
+    grad_u = _mixed_batch(B, scale=7e-4)  # ~76% plastic: a real mix
+    grad_u_prev = jnp.zeros((B, 3, 3))
+    xi_prev = jnp.zeros((B, 7))
+
+    aos = make_j2_radial_return(params)
+    soa = make_j2_radial_return_soa(params)
+
+    xi_a, sig_a = aos(xi_prev, grad_u, grad_u_prev, params.values)
+    de = strain_increment_soa(grad_u, grad_u_prev)
+    xi_s = soa(pack_state_soa(xi_prev), de, params.values)
+
+    assert np.allclose(np.asarray(unpack_state_soa(xi_s)),
+                       np.asarray(xi_a), atol=1e-10)
+    assert np.allclose(np.asarray(stress_from_state_soa(xi_s)),
+                       np.asarray(sig_a), atol=1e-10)
+    # mixed batch and a continued plastic path
+    assert 0.3 < float((np.asarray(xi_a[:, 6]) > 0).mean()) < 1.0
+    xi2_a, _ = aos(xi_a, grad_u * 1.7, grad_u, params.values)
+    xi2_s = soa(xi_s, strain_increment_soa(grad_u * 1.7, grad_u),
+                params.values)
+    assert np.allclose(np.asarray(unpack_state_soa(xi2_s)),
+                       np.asarray(xi2_a), atol=1e-10)
+
+
+def test_pallas_soa_matches_xla_soa():
+    problem = J2AnalyticalProblem()
+    params = problem.J2_parameters
+
+    B = 333  # deliberately not a tile multiple (exercises padding)
+    grad_u = _mixed_batch(B, seed=2)
+    de = strain_increment_soa(grad_u, jnp.zeros((B, 3, 3)))
+    xi0 = pack_state_soa(jnp.zeros((B, 7)))
+
+    ref = make_j2_radial_return_soa(params)
+    pal = make_pallas_j2_radial_return_soa(params)
+
+    xi_r = ref(xi0, de, params.values)
+    xi_p = pal(xi0, de, params.values)
+    assert np.allclose(np.asarray(xi_p), np.asarray(xi_r), atol=1e-10)
+
+    xi2_r = ref(xi_r, 0.7 * de, params.values)
+    xi2_p = pal(xi_p, 0.7 * de, params.values)
+    assert np.allclose(np.asarray(xi2_p), np.asarray(xi2_r), atol=1e-10)
+
+
+def test_history_drive_matches_stepwise():
+    problem = J2AnalyticalProblem()
+    params = problem.J2_parameters
+
+    B, T = 64, 5
+    rng = np.random.RandomState(3)
+    de_hist = []
+    for t in range(T):
+        e = rng.normal(0.0, 8e-4, size=(B, 3, 3))
+        e = 0.5 * (e + np.transpose(e, (0, 2, 1)))
+        de_hist.append(np.concatenate([
+            e[:, [0, 0, 0, 1, 1, 2], [0, 1, 2, 1, 2, 2]].T,
+            np.zeros((2, B))]))
+    de_hist = jnp.asarray(np.stack(de_hist))
+
+    drive = make_j2_history_drive(params, record_alpha=True)
+    xi0 = pack_state_soa(jnp.zeros((B, 7)))
+    xi_fin, alpha_hist = drive(xi0, de_hist, params.values)
+    assert alpha_hist.shape == (T, B)
+
+    step = make_j2_radial_return_soa(params)
+    xi = xi0
+    for t in range(T):
+        xi = step(xi, de_hist[t], params.values)
+        assert np.allclose(np.asarray(alpha_hist[t]), np.asarray(xi[6]),
+                           atol=1e-12)
+    assert np.allclose(np.asarray(xi_fin), np.asarray(xi), atol=1e-12)
+    # the history actually goes plastic
+    assert float(np.asarray(xi_fin[6]).max()) > 0.0
