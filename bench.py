@@ -1,11 +1,29 @@
 """cmad_tpu headline benchmark: integration-point stress updates/sec.
 
-The north-star metric (BASELINE.json): the per-IP elastic-plastic
-return-map throughput — the hot loop of COUPLED FE assembly. Runs the
-batched J2+Voce return map (elastic predictor + local Newton corrector
-with IFT tangents) on the default jax backend (the TPU when present) in
-float32, over the same workload measured for the reference on host CPU by
-``benchmarks/measure_reference_baseline.py``.
+The north-star metric (BASELINE.json) is J2+Voce elastic-plastic
+return-map throughput, reported for the three dispatch surfaces a user
+actually hits, all on the default jax backend (TPU when present, f32)
+against the reference measured on host CPU
+(``benchmarks/measure_reference_baseline.py``):
+
+- ``value`` (headline): the PUBLIC streaming-history API
+  ``ops/return_map.py make_j2_history_drive`` — a ``lax.scan`` over
+  time steps carrying component-major (8, N) state, tile-padded once
+  (Pallas kernel on TPU). This is the held-state workload: time-stepped
+  point histories / calibration ensembles. No grad_u conversion or
+  sigma materialization in the timed region; ``bytes_per_update`` and
+  the roofline figures are for exactly this workload.
+- ``fe_dispatch_updates_per_sec``: what COUPLED FE assembly dispatches
+  per call since the fem/j2_block.py fast path — AoS (N, 7) state
+  packed to SoA, the differentiable SoA kernel (ops/j2_soa_ad.py), and
+  the state unpacked back to the AoS carry, chained through the
+  pack/unpack boundary each step (conservative: inside the FE Newton
+  loop the pack is loop-invariant and XLA may hoist it).
+- ``generic_newton_updates_per_sec``: the generic vmapped IFT-Newton
+  kernel — what non-specializable yields run.
+- ``mixed_regime_updates_per_sec``: the headline workload at a
+  majority-ELASTIC plastic fraction (realistic FE step mix), since the
+  default batch is ~99% plastic, which flatters a branch-free kernel.
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -58,7 +76,9 @@ _guard_dead_tunnel()
 
 def measure_ours(batch: int | None = None, reps: int = 5):
     if batch is None:
-        batch = int(os.environ.get("CMAD_BENCH_BATCH", 1_000_000))
+        # tile multiple (512 x 8192): no padding copies inside the
+        # timed regions
+        batch = int(os.environ.get("CMAD_BENCH_BATCH", 4_194_304))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,7 +86,6 @@ def measure_ours(batch: int | None = None, reps: int = 5):
     from cmad_tpu.models.small_rate_elastic_plastic import (
         SmallRateElasticPlastic,
     )
-    from cmad_tpu.ops.j2_radial_return import make_j2_radial_return
     from cmad_tpu.ops.return_map import make_batched_return_map
     from cmad_tpu.parameters.parameters import Parameters
 
@@ -125,58 +144,80 @@ def measure_ours(batch: int | None = None, reps: int = 5):
             best = min(best, time.perf_counter() - t0)
         return xi0.shape[0] * inner * n_reps / best, xi
 
-    ups_generic, _ = timed(step, xi_prev, grad_u, grad_u_prev, reps,
-                           inner=2)
+    # the generic IFT-Newton kernel on a quarter slice (it is ~400x
+    # slower than the streaming kernels; the slice keeps the wall sane)
+    nq = max(batch // 4, 1)
+    ups_generic, _ = timed(step, xi_prev[:nq], grad_u[:nq],
+                           grad_u_prev[:nq], reps, inner=2)
     # single un-chained application for the residual sanity check (the
     # chained timing state accumulates the strain increment repeatedly)
     xi, _sigma = jax.jit(step)(xi_prev, grad_u, grad_u_prev, pv)
 
-    # the FE COUPLED dispatch: the analytic radial return in its
-    # XLA-fused AoS form — exactly what FE assembly runs
-    # (global_residual.py _build_local_solve, prefer_pallas=False)
-    radial = make_j2_radial_return(params)
-    gu4 = jnp.tile(grad_u, (4, 1, 1))
-    gu04 = jnp.tile(grad_u_prev, (4, 1, 1))
-    xi4 = jnp.tile(xi_prev[:, :7], (4, 1))
-    ups_fe, _ = timed(radial, xi4, gu4, gu04, reps)
-
-    # THE HEADLINE: the component-major (SoA) streaming drive — the
-    # public ops surface for held-state workloads (time-stepped point
-    # histories / calibration ensembles; ops/return_map.py
-    # make_j2_history_drive). Pallas kernel on TPU, XLA-fused off-TPU.
-    # Chained UNROLLED inside one jit like a real multi-step history
-    # (one device-side step per time step, state resident in HBM;
-    # unrolled because scan's carry copies cost ~25%, measured r2).
     from cmad_tpu.ops.j2_radial_return import (
+        j2_voce_scalars,
         pack_state_soa,
         strain_increment_soa,
+        unpack_state_soa,
     )
-    from cmad_tpu.ops.return_map import make_soa_radial_return
+    from cmad_tpu.ops.j2_soa_ad import make_soa_step_ad
+    from cmad_tpu.ops.return_map import make_j2_history_drive
 
-    soa_step = make_soa_radial_return(params)
-    xi4_soa = pack_state_soa(xi4)
-    de4_soa = strain_increment_soa(gu4, gu04)
+    de_soa = strain_increment_soa(grad_u, grad_u_prev)
+    xi_aos = xi_prev[:, :7]
+    scalars = j2_voce_scalars(pv, de_soa.dtype)
     inner = 8
 
-    @jax.jit
-    def soa_chain(xi0, de, pv):
-        x = xi0
-        for _ in range(inner):
-            x = soa_step(x, de, pv)
-        return x
+    # the FE COUPLED dispatch (fem/j2_block.py fast path): AoS state ->
+    # pack -> differentiable SoA kernel -> unpack to the AoS carry.
+    # Chained through the pack/unpack boundary each step — conservative
+    # for the FE Newton loop, where the pack is loop-invariant.
+    step_ad = make_soa_step_ad()
 
-    x_fin = soa_chain(xi4_soa, de4_soa, pv)
-    _ = float(jnp.sum(x_fin[6]))  # compile barrier
-    n_pts = xi4_soa.shape[1]
-    best = float("inf")
-    for _round in range(3):
-        t0 = time.perf_counter()
-        x_c = xi4_soa
-        for _ in range(reps):
-            x_c = soa_chain(x_c, de4_soa, pv)
-        _ = float(jnp.sum(x_c[6]))  # readback barrier
-        best = min(best, time.perf_counter() - t0)
-    ups = n_pts * inner * reps / best
+    @jax.jit
+    def fe_chain(xi_a, de, sc):
+        for _ in range(inner):
+            xi_a = unpack_state_soa(step_ad(pack_state_soa(xi_a), de, sc))
+        return xi_a
+
+    def timed_chain(run, state0, *args):
+        out = run(state0, *args)
+        _ = float(jnp.sum(out[0]))  # compile barrier
+        best = float("inf")
+        for _round in range(3):  # best-of-3: tunnel warmup fades ~1s
+            t0 = time.perf_counter()
+            st = state0
+            for _ in range(reps):
+                st = run(st, *args)
+            _ = float(jnp.sum(st[0]))  # readback barrier
+            best = min(best, time.perf_counter() - t0)
+        return batch * inner * reps / best
+
+    ups_fe = timed_chain(fe_chain, xi_aos, de_soa, scalars)
+
+    # THE HEADLINE: the public streaming-history API — lax.scan over
+    # time steps carrying tile-aligned (8, N) state, a materialized
+    # (T, 8, N) strain history streamed step by step (Pallas kernel on
+    # TPU, XLA-fused off-TPU).
+    drive = make_j2_history_drive(params)
+    xi0_soa = pack_state_soa(xi_aos)
+    de_hist = jnp.tile(de_soa[None], (inner, 1, 1))
+
+    def drive_run(x0, dh, p):
+        return drive(x0, dh, p)
+
+    ups = timed_chain(jax.jit(drive_run), xi0_soa, de_hist, pv)
+
+    # mixed-regime row: same workload at a majority-elastic mix (the
+    # default batch is ~99% plastic after the chained steps, which
+    # flatters a branch-free kernel — a realistic FE step is mostly
+    # elastic)
+    # 8 chained steps accumulate the increment linearly, so the scale
+    # must keep ~70% of points below yield at the END of the chain
+    de_mixed = de_soa * 0.045
+    de_hist_mixed = jnp.tile(de_mixed[None], (inner, 1, 1))
+    ups_mixed = timed_chain(jax.jit(drive_run), xi0_soa, de_hist_mixed, pv)
+    xi_mix_fin = drive(xi0_soa, de_hist_mixed, pv)
+    frac_mixed = float((np.asarray(xi_mix_fin[6]) > 0).mean())
 
     # convergence sanity: residual at the returned state
     C = model.C_batched(xi, xi_prev, params.values,
@@ -185,7 +226,8 @@ def measure_ours(batch: int | None = None, reps: int = 5):
     frac_plastic = float((np.asarray(xi[:, 6]) > 0).mean())
 
     backend = jax.default_backend()
-    return (ups, ups_fe, ups_generic, max_res, frac_plastic, backend)
+    return (ups, ups_fe, ups_generic, ups_mixed, frac_mixed, max_res,
+            frac_plastic, backend)
 
 
 def _fields(grad_u):
@@ -274,12 +316,21 @@ def measure_notch_wall():
 
 
 # Physical HBM traffic per SoA radial-return update, f32 component-major
-# layout (8-row padded streams): reads xi_soa (8) + de_soa (8), writes
-# xi_soa (8) -> 24 * 4 B. (Useful traffic is 13 reads + 7 writes = 80 B;
-# the 96 B figure charges the padding rows honestly.) The kernel is
-# memory-bound (arithmetic intensity ~3 flop/B), so the HBM roofline is
-# the honest ceiling.
-_BYTES_PER_UPDATE = 24 * 4
+# layout (8-row padded streams). Per-step dispatch: reads xi_soa (8) +
+# de_soa (8), writes xi_soa (8) -> 96 B/update. The TPU history drive
+# runs the FUSED chunk kernel (pallas_radial_return.py HIST_CHUNK=8
+# steps per invocation, state resident in VMEM across the chunk), so
+# the state traffic amortizes: 32 (de stream) + 64/8 (xi in+out per
+# chunk) = 40 B/update. Useful (unpadded) traffic is 5/8 of either
+# figure; charging the padding rows is the honest accounting. The
+# kernel is memory-bound, so the HBM roofline is the ceiling.
+_BYTES_PER_UPDATE_STEP = 24 * 4
+_BYTES_PER_UPDATE_FUSED = 8 * 4 + (16 * 4) // 8
+
+
+def _bytes_per_update(backend: str) -> int:
+    return (_BYTES_PER_UPDATE_FUSED if backend == "tpu"
+            else _BYTES_PER_UPDATE_STEP)
 
 # peak HBM bandwidth by TPU generation (public spec sheets), bytes/s
 _HBM_BW = {
@@ -308,8 +359,8 @@ def main() -> None:
     else:
         baseline = None
 
-    (ups, ups_fe, ups_generic, max_res, frac_plastic,
-     backend) = measure_ours()
+    (ups, ups_fe, ups_generic, ups_mixed, frac_mixed, max_res,
+     frac_plastic, backend) = measure_ours()
     notch = None
     try:
         notch = measure_notch_wall()
@@ -317,7 +368,8 @@ def main() -> None:
         pass
 
     bw, device_kind = _hbm_bw_for_device()
-    roofline_ups = bw / _BYTES_PER_UPDATE if bw else None
+    bpu = _bytes_per_update(backend)
+    roofline_ups = bw / bpu if bw else None
 
     result = {
         "metric": "ip_stress_updates_per_sec",
@@ -326,18 +378,23 @@ def main() -> None:
         "vs_baseline": round(ups / baseline, 2) if baseline else None,
         "backend": backend,
         "device_kind": device_kind,
-        "dispatch": "component-major (SoA) streaming history drive — "
-                    "the public ops surface for held-state workloads "
-                    "(ops/return_map.py make_j2_history_drive; Pallas "
-                    "kernel on TPU, XLA-fused off-TPU)",
+        "dispatch": "public streaming-history API (ops/return_map.py "
+                    "make_j2_history_drive): lax.scan over time steps "
+                    "carrying tile-aligned component-major (8, N) "
+                    "state; Pallas kernel on TPU, XLA-fused off-TPU",
         "fe_dispatch_updates_per_sec": round(ups_fe, 1),
         "fe_dispatch_vs_baseline": (round(ups_fe / baseline, 2)
                                     if baseline else None),
+        "fe_dispatch_note": "fem/j2_block.py COUPLED fast path boundary:"
+                            " AoS (N,7) pack -> differentiable SoA "
+                            "kernel -> AoS unpack, chained per step",
         "generic_newton_updates_per_sec": round(ups_generic, 1),
         "generic_newton_vs_baseline": (round(ups_generic / baseline, 2)
                                        if baseline else None),
-        "bytes_per_update": _BYTES_PER_UPDATE,
-        "hbm_gbps_sustained": round(ups * _BYTES_PER_UPDATE / 1e9, 1),
+        "mixed_regime_updates_per_sec": round(ups_mixed, 1),
+        "mixed_regime_frac_plastic": frac_mixed,
+        "bytes_per_update": bpu,
+        "hbm_gbps_sustained": round(ups * bpu / 1e9, 1),
         "pct_hbm_roofline": (round(100.0 * ups / roofline_ups, 1)
                              if roofline_ups else None),
         "max_residual": max_res,

@@ -182,6 +182,19 @@ def _coupled_r_kernel(U_elem, U_prev_elem, params, per_elem, shared,
                        num_blocks)
 
 
+def _coupled_block_generic(U_elem, U_prev_elem, params, geom, evaluators,
+                           forcing, num_blocks, t, xi_prev_per_block):
+    """Generic COUPLED R-and-K over nested (element, IP) vmaps."""
+    return vmap(
+        lambda U, Up, pe, xi: _coupled_r_and_k_kernel(
+            U, Up, params, pe, geom["shared"],
+            evaluators["R_and_dR_dU_and_xi"], forcing, num_blocks, t,
+            xi),
+        in_axes=(0, 0, 0, 0), axis_name="elem",
+    )(U_elem, U_prev_elem, geom["per_elem"],
+      jnp.asarray(xi_prev_per_block))
+
+
 def assemble_element_block(fe_problem: "FEProblem",
                            fe_arrays: "FEKernelArrays",
                            params_by_block: Mapping[str, Params],
@@ -206,14 +219,17 @@ def assemble_element_block(fe_problem: "FEProblem",
         if xi_prev_per_block is None:
             raise ValueError(
                 f"COUPLED block {block_name!r} requires xi_prev_per_block")
-        R_pe, K_pe, xi_solved = vmap(
-            lambda U, Up, pe, xi: _coupled_r_and_k_kernel(
-                U, Up, params, pe, geom["shared"],
-                evaluators["R_and_dR_dU_and_xi"], forcing, num_blocks, t,
-                xi),
-            in_axes=(0, 0, 0, 0), axis_name="elem",
-        )(U_elem, U_prev_elem, geom["per_elem"],
-          jnp.asarray(xi_prev_per_block))
+        if "block_R_and_K_and_xi" in evaluators:
+            # whole-block SoA fast path (fem/j2_block.py): one batched
+            # radial-return dispatch + closed-form consistent tangent
+            R_e, K_e, xi_solved = evaluators["block_R_and_K_and_xi"](
+                params, U_elem[0], U_prev_elem[0], geom, forcing.get(0),
+                t, jnp.asarray(xi_prev_per_block))
+            R_pe, K_pe = [R_e], [[K_e]]
+        else:
+            R_pe, K_pe, xi_solved = _coupled_block_generic(
+                U_elem, U_prev_elem, params, geom, evaluators, forcing,
+                num_blocks, t, xi_prev_per_block)
     else:
         R_pe, K_pe = vmap(
             lambda U, Up, pe: _closed_r_and_k_kernel(
@@ -260,7 +276,11 @@ def assemble_element_block_residual(fe_problem, fe_arrays, params_by_block,
         raise ValueError(
             f"COUPLED block {block_name!r} requires xi_prev_per_block")
 
-    if coupled:
+    if coupled and "block_R" in evaluators:
+        R_pe = [evaluators["block_R"](
+            params, U_elem[0], U_prev_elem[0], geom, forcing.get(0), t,
+            jnp.asarray(xi_prev_per_block))]
+    elif coupled:
         R_pe = vmap(
             lambda U, Up, pe, xi: _coupled_r_kernel(
                 U, Up, params, pe, geom["shared"], evaluators["R"],

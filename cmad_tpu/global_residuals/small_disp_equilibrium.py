@@ -106,8 +106,18 @@ class SmallDispEquilibrium(GlobalResidual):
             raise ValueError(
                 f"mixed formulation requires supports_mixed; "
                 f"{type(model).__name__} lacks it")
-        return super().for_model(model, mode, local_newton_settings,
-                                 print_local_convergence)
+        evaluators = super().for_model(model, mode, local_newton_settings,
+                                       print_local_convergence)
+        # block-level SoA fast path (fem/j2_block.py): whole-block
+        # assembly kernels that assembly dispatches to instead of the
+        # nested per-IP vmaps, when the model/form admit them
+        from cmad_tpu.fem.j2_block import (
+            j2_block_applicable,
+            make_j2_block_kernels,
+        )
+        if j2_block_applicable(self, model, mode, print_local_convergence):
+            evaluators = {**evaluators, **make_j2_block_kernels(model)}
+        return evaluators
 
     def near_null_space(self, mesh) -> np.ndarray:
         u_modes = rigid_body_modes(np.asarray(mesh.nodes, dtype=np.float64))

@@ -128,12 +128,16 @@ def migrate_pyamg(solver: dict[str, Any]) -> None:
         if dropped:
             msg += f"; pyamg kwargs {sorted(dropped)} ignored"
         warnings.warn(msg, UserWarning, stacklevel=4)
+        # provenance: carried into deck.resolved.yaml so the mapping is
+        # auditable after the run, not just a stderr line
+        solver.setdefault("migrated", []).append(msg)
     if precon.get("type") == "block" and precon.get("inner") == "amg":
         precon["inner"] = "chebyshev"
-        warnings.warn(
-            "block preconditioner inner solve 'amg' is host-side-only; "
-            "mapped to the device-native 'chebyshev' inner solve",
-            UserWarning, stacklevel=4)
+        msg = ("block preconditioner inner solve 'amg' is "
+               "host-side-only; mapped to the device-native 'chebyshev' "
+               "inner solve")
+        warnings.warn(msg, UserWarning, stacklevel=4)
+        solver.setdefault("migrated", []).append(msg)
 
 
 def _setdefaults(target: dict, defaults: dict) -> None:

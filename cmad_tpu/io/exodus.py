@@ -1,10 +1,13 @@
-"""Exodus II mesh + results I/O on NetCDF3 (pure Python).
+"""Exodus II mesh + results I/O (pure Python, no netCDF4 dependency).
 
-Parity: reference ``cmad/io/exodus.py:247,433,846``, reimplemented on
-``scipy.io.netcdf_file`` because this image has no netCDF4. Files are
-written in NetCDF3 64-bit-offset — readable by every Exodus consumer.
-Reading supports NetCDF3 classic/64-bit files; HDF5-backed Exodus files
-raise a clear error naming the limitation.
+Parity: reference ``cmad/io/exodus.py:247,433,846`` (whose netCDF4
+backend reads classic AND HDF5 files transparently). Files are written
+in NetCDF3 64-bit-offset via ``scipy.io.netcdf_file`` — readable by
+every Exodus consumer. Reading sniffs the magic bytes and dispatches:
+NetCDF3 classic/64-bit-offset files go through scipy; netCDF4/HDF5
+files (the default output of modern Exodus producers — SEACAS, Cubit,
+meshio) go through an h5py-backed view of the netCDF4-on-HDF5 layout
+(:class:`_H5NetCDF`), so both formats read through the same code paths.
 
 Supported subset (everything the framework produces/consumes):
 - mesh: coordinates, element blocks (hex8 / tet4), node sets, side sets,
@@ -57,13 +60,82 @@ def _decode_names(char_array) -> list[str]:
     return out
 
 
-def _open_read(path: Path) -> netcdf_file:
+_HDF5_MAGIC = b"\x89HDF"
+_NOT_A_VARIABLE = b"This is a netCDF dimension but not a netCDF variable"
+
+
+class _H5Var:
+    """``netcdf_file``-variable shim over one h5py dataset: ``[...]``
+    slicing plus NetCDF attributes as (bytes-normalized) attributes."""
+
+    def __init__(self, ds) -> None:
+        object.__setattr__(self, "_ds", ds)
+
+    def __getitem__(self, key):
+        return self._ds[key]
+
+    def __getattr__(self, name):
+        try:
+            val = self._ds.attrs[name]
+        except KeyError:
+            raise AttributeError(name) from None
+        if isinstance(val, str):
+            return val.encode()
+        if isinstance(val, np.ndarray) and val.dtype.kind == "S" \
+                and val.shape == ():
+            return bytes(val)
+        return val
+
+
+class _H5NetCDF:
+    """Read-only ``netcdf_file``-compatible view of a netCDF4 (HDF5)
+    Exodus file: ``dimensions`` from the HDF5 dimension scales,
+    ``variables`` from the data-carrying datasets. Covers the flat
+    (root-group) layout netCDF4 classic-model writers produce — which
+    is what every Exodus producer emits."""
+
+    def __init__(self, path: Path) -> None:
+        import h5py
+
+        self._f = h5py.File(str(path), "r")
+        self.dimensions: dict[str, int] = {}
+        self.variables: dict[str, _H5Var] = {}
+        for name, ds in self._f.items():
+            if not isinstance(ds, h5py.Dataset):
+                continue
+            cls = ds.attrs.get("CLASS", b"")
+            if isinstance(cls, str):
+                cls = cls.encode()
+            if cls == b"DIMENSION_SCALE":
+                self.dimensions[name] = (int(ds.shape[0]) if ds.shape
+                                         else 0)
+                nm = ds.attrs.get("NAME", b"")
+                if isinstance(nm, str):
+                    nm = nm.encode()
+                if bytes(nm).startswith(_NOT_A_VARIABLE):
+                    continue  # pure dimension — no variable data
+            self.variables[name] = _H5Var(ds)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _open_read(path: Path):
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic.startswith(_HDF5_MAGIC):
+        try:
+            return _H5NetCDF(path)
+        except Exception as e:
+            raise ExodusFormatError(
+                f"cannot read {path} as a netCDF4/HDF5 Exodus file: "
+                f"{e}") from e
     try:
         return netcdf_file(str(path), "r", mmap=False)
     except Exception as e:
         raise ExodusFormatError(
-            f"cannot read {path} as NetCDF3; HDF5-backed Exodus files are "
-            f"not supported by this build (no netCDF4): {e}") from e
+            f"cannot read {path} as NetCDF3 (magic {magic!r}): "
+            f"{e}") from e
 
 
 def read_mesh(path: Path) -> Mesh:

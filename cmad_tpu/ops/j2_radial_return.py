@@ -191,6 +191,49 @@ def stress_from_state_soa(xi_soa: JaxArray) -> JaxArray:
     ], axis=-2)
 
 
+def j2_voce_scalars(params, dtype) -> JaxArray:
+    """The five J2+Voce material scalars ``[mu, lambda, Y, S, D]`` as one
+    differentiable (5,) array — the SMEM/scalar-argument form shared by
+    the XLA and Pallas SoA kernels."""
+    mu, lam, Y, S, D = _constants(params)
+    return jnp.stack([mu, lam, Y, S, D]).astype(dtype)
+
+
+def soa_step_scalars(xi_soa: JaxArray, de_soa: JaxArray,
+                     scalars: JaxArray,
+                     newton_iters: int = _SCALAR_NEWTON_ITERS) -> JaxArray:
+    """XLA-fused component-major radial return with the material
+    constants pre-stacked by :func:`j2_voce_scalars` (rows contract in
+    the SoA section comment above)."""
+    mu, lam, Y, S, D = (scalars[0], scalars[1], scalars[2], scalars[3],
+                        scalars[4])
+    exx, exy, exz = de_soa[0], de_soa[1], de_soa[2]
+    eyy, eyz, ezz = de_soa[3], de_soa[4], de_soa[5]
+    tr = exx + eyy + ezz
+    diag = lam * tr
+    sxx = xi_soa[0] + diag + 2.0 * mu * exx
+    sxy = xi_soa[1] + 2.0 * mu * exy
+    sxz = xi_soa[2] + 2.0 * mu * exz
+    syy = xi_soa[3] + diag + 2.0 * mu * eyy
+    syz = xi_soa[4] + 2.0 * mu * eyz
+    szz = xi_soa[5] + diag + 2.0 * mu * ezz
+    alpha_prev = xi_soa[6]
+
+    p = (sxx + syy + szz) / 3.0
+    dxx, dyy, dzz = sxx - p, syy - p, szz - p
+    phi_tr = jnp.sqrt(1.5 * (dxx * dxx + dyy * dyy + dzz * dzz
+                             + 2.0 * (sxy * sxy + sxz * sxz
+                                      + syz * syz)))
+    dg, mask = _scalar_corrector(phi_tr, alpha_prev, mu, Y, S, D,
+                                 newton_iters)
+    safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
+    sc = jnp.where(mask, 3.0 * mu * dg / safe_phi, jnp.zeros_like(dg))
+    return jnp.stack([sxx - sc * dxx, sxy * (1.0 - sc),
+                      sxz * (1.0 - sc), syy - sc * dyy,
+                      syz * (1.0 - sc), szz - sc * dzz,
+                      alpha_prev + dg, jnp.zeros_like(dg)])
+
+
 def make_j2_radial_return_soa(parameters, newton_iters: int =
                               _SCALAR_NEWTON_ITERS):
     """XLA-fused component-major radial return (rate form); see the
@@ -200,33 +243,9 @@ def make_j2_radial_return_soa(parameters, newton_iters: int =
     del parameters  # layout is fixed by the J2+Voce model
 
     def step(xi_soa: JaxArray, de_soa: JaxArray, params) -> JaxArray:
-        mu, lam, Y, S, D = _constants(params)
-        exx, exy, exz = de_soa[0], de_soa[1], de_soa[2]
-        eyy, eyz, ezz = de_soa[3], de_soa[4], de_soa[5]
-        tr = exx + eyy + ezz
-        diag = lam * tr
-        sxx = xi_soa[0] + diag + 2.0 * mu * exx
-        sxy = xi_soa[1] + 2.0 * mu * exy
-        sxz = xi_soa[2] + 2.0 * mu * exz
-        syy = xi_soa[3] + diag + 2.0 * mu * eyy
-        syz = xi_soa[4] + 2.0 * mu * eyz
-        szz = xi_soa[5] + diag + 2.0 * mu * ezz
-        alpha_prev = xi_soa[6]
-
-        p = (sxx + syy + szz) / 3.0
-        dxx, dyy, dzz = sxx - p, syy - p, szz - p
-        phi_tr = jnp.sqrt(1.5 * (dxx * dxx + dyy * dyy + dzz * dzz
-                                 + 2.0 * (sxy * sxy + sxz * sxz
-                                          + syz * syz)))
-        dg, mask = _scalar_corrector(phi_tr, alpha_prev, mu, Y, S, D,
-                                     newton_iters)
-        safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
-        sc = jnp.where(mask, 3.0 * mu * dg / safe_phi,
-                       jnp.zeros_like(dg))
-        return jnp.stack([sxx - sc * dxx, sxy * (1.0 - sc),
-                          sxz * (1.0 - sc), syy - sc * dyy,
-                          syz * (1.0 - sc), szz - sc * dzz,
-                          alpha_prev + dg, jnp.zeros_like(dg)])
+        scalars = j2_voce_scalars(params, xi_soa.dtype)
+        return soa_step_scalars(xi_soa, de_soa, scalars,
+                                newton_iters=newton_iters)
 
     return jax.jit(step)
 

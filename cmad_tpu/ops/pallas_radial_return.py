@@ -117,33 +117,25 @@ def _call(packed: JaxArray, scalars: JaxArray,
 # per buffer; measured at 4M points this is the best tile (2.46 G
 # updates/s scanned, 3.26 G unrolled vs 1.9 G at 2048)
 _TILE_SOA = 8192
+TILE_SOA = _TILE_SOA  # public: callers pre-pad streaming batches once
 
 
-def _kernel_soa(scalars_ref, xi_ref, de_ref, out_ref):
-    """Component-major radial return: state and strain increment arrive
-    as separate (8, tile) row blocks (contract in
-    ops/j2_radial_return.py SoA section); no AoS<->SoA transposes
-    anywhere in the pass."""
-    mu = scalars_ref[0]
-    lam = scalars_ref[1]
-    Y = scalars_ref[2]
-    S = scalars_ref[3]
-    D = scalars_ref[4]
+def _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D):
+    """Value-level radial return on seven state rows + six strain rows
+    (all (1, tile)); returns the seven updated rows. Shared by the
+    single-step and fused-history SoA kernels."""
+    x0, x1, x2, x3, x4, x5, alpha_prev = xi_rows
+    e0, e1, e2, e3, e4, e5 = de_rows
 
-    # slice ROWS off the refs directly: loading a (6, tile) block and
-    # value-slicing it costs sublane relayouts per extract (~2.5x
-    # end-to-end, measured r2); per-row ref loads are free
-    alpha_prev = xi_ref[6:7, :]
-
-    tr = de_ref[0:1, :] + de_ref[3:4, :] + de_ref[5:6, :]
+    tr = e0 + e3 + e5
     two_mu = 2.0 * mu
     diag = lam * tr
-    s_tr0 = xi_ref[0:1, :] + diag + two_mu * de_ref[0:1, :]
-    s_tr1 = xi_ref[1:2, :] + two_mu * de_ref[1:2, :]
-    s_tr2 = xi_ref[2:3, :] + two_mu * de_ref[2:3, :]
-    s_tr3 = xi_ref[3:4, :] + diag + two_mu * de_ref[3:4, :]
-    s_tr4 = xi_ref[4:5, :] + two_mu * de_ref[4:5, :]
-    s_tr5 = xi_ref[5:6, :] + diag + two_mu * de_ref[5:6, :]
+    s_tr0 = x0 + diag + two_mu * e0
+    s_tr1 = x1 + two_mu * e1
+    s_tr2 = x2 + two_mu * e2
+    s_tr3 = x3 + diag + two_mu * e3
+    s_tr4 = x4 + two_mu * e4
+    s_tr5 = x5 + diag + two_mu * e5
 
     p_tr = (s_tr0 + s_tr3 + s_tr5) / 3.0
     d0 = s_tr0 - p_tr
@@ -170,14 +162,96 @@ def _kernel_soa(scalars_ref, xi_ref, de_ref, out_ref):
     safe_phi = jnp.where(phi_tr > 0.0, phi_tr, 1.0)
     scale = jnp.where(plastic, 3.0 * mu * dg / safe_phi, 0.0)
 
-    out_ref[0:1, :] = s_tr0 - scale * d0
-    out_ref[1:2, :] = s_tr1 - scale * s_tr1
-    out_ref[2:3, :] = s_tr2 - scale * s_tr2
-    out_ref[3:4, :] = s_tr3 - scale * d3
-    out_ref[4:5, :] = s_tr4 - scale * s_tr4
-    out_ref[5:6, :] = s_tr5 - scale * d5
-    out_ref[6:7, :] = alpha_prev + dg
-    out_ref[7:8, :] = jnp.zeros_like(alpha_prev)
+    return (s_tr0 - scale * d0, s_tr1 * (1.0 - scale),
+            s_tr2 * (1.0 - scale), s_tr3 - scale * d3,
+            s_tr4 * (1.0 - scale), s_tr5 - scale * d5,
+            alpha_prev + dg)
+
+
+def _kernel_soa(scalars_ref, xi_ref, de_ref, out_ref):
+    """Component-major radial return: state and strain increment arrive
+    as separate (8, tile) row blocks (contract in
+    ops/j2_radial_return.py SoA section); no AoS<->SoA transposes
+    anywhere in the pass."""
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    # slice ROWS off the refs directly: loading a (6, tile) block and
+    # value-slicing it costs sublane relayouts per extract (~2.5x
+    # end-to-end, measured r2); per-row ref loads are free
+    xi_rows = tuple(xi_ref[r:r + 1, :] for r in range(7))
+    de_rows = tuple(de_ref[r:r + 1, :] for r in range(6))
+    out = _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D)
+    for r in range(7):
+        out_ref[r:r + 1, :] = out[r]
+    out_ref[7:8, :] = jnp.zeros_like(out[6])
+
+
+def _kernel_soa_hist(scalars_ref, xi_ref, de_hist_ref, out_ref, *,
+                     t_steps: int):
+    """Fused multi-step history: the state rows stay in VMEM/registers
+    across ``t_steps`` radial returns, so HBM sees the state once per
+    CHUNK instead of once per step — 96 B/update drops to
+    ``32 + 64/t_steps`` B/update (40 B at t_steps=8)."""
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    xi_rows = tuple(xi_ref[r:r + 1, :] for r in range(7))
+    for t in range(t_steps):  # static unroll (t_steps is a chunk, <= 8)
+        de_rows = tuple(de_hist_ref[t, r:r + 1, :] for r in range(6))
+        xi_rows = _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D)
+    for r in range(7):
+        out_ref[r:r + 1, :] = xi_rows[r]
+    out_ref[7:8, :] = jnp.zeros_like(xi_rows[6])
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "interpret"))
+def _call_soa_hist(xi_soa: JaxArray, de_hist: JaxArray, scalars: JaxArray,
+                   t_steps: int, interpret: bool = False) -> JaxArray:
+    B = xi_soa.shape[1]
+    grid = (B // _TILE_SOA,)
+    return pl.pallas_call(
+        functools.partial(_kernel_soa_hist, t_steps=t_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, _TILE_SOA), lambda i, s: (0, i)),
+                pl.BlockSpec((t_steps, 8, _TILE_SOA),
+                             lambda i, s: (0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((8, _TILE_SOA), lambda i, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, B), xi_soa.dtype),
+        interpret=interpret,
+    )(scalars, xi_soa, de_hist)
+
+
+# steps fused per kernel invocation in the history drive: VMEM per grid
+# step is t_steps * 8 * _TILE_SOA * 4 B for the strain block (2 MiB at
+# 8) plus pipeline buffers — comfortably inside VMEM, and 8 already
+# drops the traffic to 40 B/update (the xi term is 1/t_steps)
+HIST_CHUNK = 8
+
+
+def soa_history_chunk_pallas(xi_soa: JaxArray, de_chunk: JaxArray,
+                             scalars: JaxArray,
+                             interpret: bool = False) -> JaxArray:
+    """``t_steps`` fused radial returns: ``xi (8, N), de_chunk
+    (t_steps, 8, N) -> xi' (8, N)``. N must be tile-aligned (the
+    history drive pads once up front)."""
+    if xi_soa.shape[1] % _TILE_SOA:
+        raise ValueError(
+            f"fused history chunk requires tile-aligned N "
+            f"(multiple of {_TILE_SOA}); got {xi_soa.shape[1]}")
+    return _call_soa_hist(xi_soa, de_chunk, scalars,
+                          t_steps=de_chunk.shape[0], interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,6 +284,21 @@ def _material_scalars(params, dtype):
     ]).astype(dtype)
 
 
+def soa_step_scalars_pallas(xi_soa: JaxArray, de_soa: JaxArray,
+                            scalars: JaxArray,
+                            interpret: bool = False) -> JaxArray:
+    """Tile-padding wrapper over the SoA Pallas kernel with the material
+    constants pre-stacked (``j2_voce_scalars``); semantics identical to
+    ``j2_radial_return.soa_step_scalars``."""
+    B = xi_soa.shape[1]
+    pad = (-B) % _TILE_SOA
+    if pad:
+        xi_soa = jnp.pad(xi_soa, ((0, 0), (0, pad)))
+        de_soa = jnp.pad(de_soa, ((0, 0), (0, pad)))
+    out = _call_soa(xi_soa, de_soa, scalars, interpret=interpret)
+    return out[:, :B] if pad else out
+
+
 def make_pallas_j2_radial_return_soa(parameters,
                                      interpret: bool | None = None):
     """Component-major Pallas radial return:
@@ -226,13 +315,8 @@ def make_pallas_j2_radial_return_soa(parameters,
 
     def step(xi_soa: JaxArray, de_soa: JaxArray, params) -> JaxArray:
         scalars = _material_scalars(params, xi_soa.dtype)
-        B = xi_soa.shape[1]
-        pad = (-B) % _TILE_SOA
-        if pad:
-            xi_soa = jnp.pad(xi_soa, ((0, 0), (0, pad)))
-            de_soa = jnp.pad(de_soa, ((0, 0), (0, pad)))
-        out = _call_soa(xi_soa, de_soa, scalars, interpret=interpret)
-        return out[:, :B] if pad else out
+        return soa_step_scalars_pallas(xi_soa, de_soa, scalars,
+                                       interpret=interpret)
 
     return jax.jit(step)
 

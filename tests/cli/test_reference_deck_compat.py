@@ -90,3 +90,33 @@ def test_mixed_plastic_deck_runs_verbatim(tmp_path, monkeypatch):
     assert len(steps) == 5
     for step in steps:
         assert step["final_residual"] < 1e-6 * step["initial_residual"]
+
+
+def test_pyamg_deck_migrates_and_runs(tmp_path, monkeypatch):
+    """A reference deck naming the pyamg preconditioner arm (reference
+    cmad/io/schemas/linear_solver.yaml 'pyamg' const +
+    cmad/fem/sparse_solve.py:442 scipy_amg_cg) runs end to end: mapped
+    to the device-native two_level arm with the provenance recorded in
+    deck.resolved.yaml."""
+    import yaml
+
+    from cmad_tpu.cli.main import main
+
+    deck = yaml.safe_load((REF / "elastic_plastic_uniaxial.yaml")
+                          .read_text())
+    deck["linear solver"] = {"type": "cg", "rtol": 1.0e-8,
+                             "preconditioner": {
+                                 "type": "pyamg",
+                                 "kwargs": {"max_levels": 3}}}
+    (tmp_path / "d.yaml").write_text(yaml.safe_dump(deck))
+    _make_cube_mesh(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    with pytest.warns(UserWarning, match="pyamg.*two_level"):
+        assert main(["primal", "d.yaml"]) == 0
+
+    resolved = yaml.safe_load(
+        (tmp_path / "results" / "deck.resolved.yaml").read_text())
+    ls = resolved["linear solver"]
+    assert ls["preconditioner"]["type"] == "two_level"
+    assert any("pyamg" in note for note in ls["migrated"])
+    assert any("max_levels" in note for note in ls["migrated"])

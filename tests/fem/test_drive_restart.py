@@ -48,10 +48,12 @@ def test_drive_equals_direct_solves():
         assert np.allclose(np.asarray(U), state.U_at(k), atol=1e-12)
         # xi tolerance: both sides are independently converged Newton
         # states (rel tol 1e-10), so their local states can differ by
-        # ~rel_tol x the O(1e2) stress scale plus fusion noise
-        # (measured ~1.4e-10 absolute).
+        # ~rel_tol x the O(1e2) stress scale (2e-8) plus fusion noise —
+        # the scan-jitted drive and per-step jits compile the fem/
+        # j2_block.py block kernels into different fusions (measured
+        # ~1.3e-9 absolute).
         assert np.allclose(np.asarray(xi["all"]),
-                           state.xi_at(k, "all"), atol=1e-9)
+                           state.xi_at(k, "all"), atol=1e-8)
 
 
 def test_restart_from_recorded_state():

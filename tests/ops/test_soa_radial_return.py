@@ -126,3 +126,41 @@ def test_history_drive_matches_stepwise():
     assert np.allclose(np.asarray(xi_fin), np.asarray(xi), atol=1e-12)
     # the history actually goes plastic
     assert float(np.asarray(xi_fin[6]).max()) > 0.0
+
+
+def test_fused_history_drive_matches_per_step():
+    """The fused multi-step Pallas history kernel (chunks of
+    HIST_CHUNK + a remainder chunk, state resident in VMEM across each
+    chunk) must reproduce the per-step scan exactly — including
+    non-tile-aligned N (padded once up front) and T not a multiple of
+    the chunk."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmad_tpu.ops.return_map import make_j2_history_drive
+
+    import jax
+
+    params = J2AnalyticalProblem().J2_parameters
+    # single dtype on both paths: the fused kernel computes in the
+    # STATE dtype, while the XLA step would promote f32 state by f64
+    # param leaves
+    pv32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                        params.values)
+    rng = np.random.RandomState(5)
+    N, T = 1000, 11  # non-aligned batch; 1 full chunk + 3 remainder
+    xi0 = np.zeros((8, N), np.float32)
+    xi0[:6] = rng.normal(0, 30, (6, N))
+    de = np.zeros((T, 8, N), np.float32)
+    de[:, :6] = rng.normal(0, 4e-4, (T, 6, N))
+    xi0, de = jnp.asarray(xi0), jnp.asarray(de)
+
+    ref = make_j2_history_drive(params, fused=False)(xi0, de, pv32)
+    fused = make_j2_history_drive(params, fused=True)(xi0, de, pv32)
+    assert float((np.asarray(ref)[6] > 0).any())
+    # f32 tolerance: points with f_trial within roundoff of 0 can take
+    # different elastic/plastic branches under the two op orderings;
+    # their dg is O(f_trial) ~ 0, bounding the divergence (measured
+    # max 1.4e-4 relative on 1.3% of points)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
