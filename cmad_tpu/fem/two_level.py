@@ -41,6 +41,13 @@ from jax.tree_util import register_pytree_node_class
 
 from cmad_tpu.typing import JaxArray
 
+# the coarse operator is materialized dense (m, m) and LU-factorized;
+# past this ceiling the setup cost/footprint stops being "free" next to
+# the fine-level work (24k^2 f64 = 4.6 GB transient). Pattern builders
+# auto-coarsen the aggregation to stay under it; coarse_matrix raises
+# as the backstop for hand-built patterns.
+DENSE_COARSE_CEILING = 24000
+
 _NULL_COL_REL = 1e-8   # relative diagonal floor below which a coarse
                        # column is deflated (dropped) instead of scaled
 
@@ -95,8 +102,8 @@ def build_two_level_pattern(coords: np.ndarray,
             f"field layout (3 dofs/node); got n_dofs={n_dofs} for "
             f"{n_nodes} nodes")
 
-    agg_of_node, n_aggs = _aggregate_nodes(coords,
-                                           target_nodes_per_aggregate)
+    agg_of_node, n_aggs = _aggregate_nodes_capped(
+        coords, target_nodes_per_aggregate, width=6)
     B = _centered_rbm_blocks(coords, agg_of_node, n_aggs, dtype)
 
     P_vals = B.reshape(n_nodes * 3, 6)
@@ -124,8 +131,8 @@ def build_two_level_pattern_mixed(coords: np.ndarray,
             f" equal-order layout; got n_dofs={n_dofs} for {n_nodes} "
             "nodes")
 
-    agg_of_node, n_aggs = _aggregate_nodes(coords,
-                                           target_nodes_per_aggregate)
+    agg_of_node, n_aggs = _aggregate_nodes_capped(
+        coords, target_nodes_per_aggregate, width=7)
     B = _centered_rbm_blocks(coords, agg_of_node, n_aggs, dtype)
 
     P_vals = np.zeros((n_dofs, 7), dtype=dtype)
@@ -135,6 +142,34 @@ def build_two_level_pattern_mixed(coords: np.ndarray,
         np.repeat(agg_of_node, 3), agg_of_node]).astype(np.int32)
     _normalize_and_mask(P_vals, agg_of_dof, n_aggs, prescribed_indices)
     return TwoLevelPattern(P_vals, agg_of_dof, n_aggs)
+
+
+def _aggregate_nodes_capped(coords: np.ndarray, target: int, width: int):
+    """Aggregate, auto-coarsening so the dense coarse space fits
+    :data:`DENSE_COARSE_CEILING`: a 1M-node mesh at the default 48
+    nodes/aggregate would ask for a 125k-dof dense coarse factorization
+    (60+ GB). Bumping nodes/aggregate keeps the preconditioner working
+    (iteration counts degrade gracefully with aggregate size) instead of
+    failing; a warning records the effective value. The retry loop is
+    needed because the box binning only lands near its requested count
+    (axis rounding can overshoot by ~25%)."""
+    import warnings
+
+    max_aggs = max(1, DENSE_COARSE_CEILING // width)
+    agg_of_node, n_aggs = _aggregate_nodes(coords, target)
+    if n_aggs <= max_aggs:
+        return agg_of_node, n_aggs
+    fitted = target
+    while n_aggs > max_aggs:
+        fitted = max(fitted + 1, int(fitted * n_aggs / max_aggs * 1.1))
+        agg_of_node, n_aggs = _aggregate_nodes(coords, fitted)
+    warnings.warn(
+        f"two-level: {coords.shape[0]} nodes at {target} "
+        f"nodes/aggregate would overflow the {DENSE_COARSE_CEILING}-dof "
+        f"dense coarse ceiling; using {fitted} nodes/aggregate "
+        f"({n_aggs * width} coarse dofs) — set 'aggregate nodes' "
+        "explicitly to tune", stacklevel=3)
+    return agg_of_node, n_aggs
 
 
 def _aggregate_nodes(coords: np.ndarray, target: int):
@@ -232,7 +267,7 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
                   P_vals: JaxArray | None = None) -> JaxArray:
     """A_c = P^T K P from K's deduped COO triplet, dense (m, m)."""
     m, w = pattern.coarse_dim, pattern.width
-    if m > 24000:
+    if m > DENSE_COARSE_CEILING:
         raise ValueError(
             f"two-level coarse space has {m} dofs — the dense (m, m) "
             "coarse factorization would need "

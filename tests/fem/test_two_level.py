@@ -248,3 +248,49 @@ def test_node_block_smoother_is_block_jacobi_inverse():
                                atol=1e-8 * np.abs(z_ref).max())
     np.testing.assert_allclose(zT, zT_ref, rtol=5e-5,
                                atol=1e-8 * np.abs(zT_ref).max())
+
+
+def test_pattern_auto_coarsens_past_dense_ceiling():
+    """A 300k+ node mesh at the default aggregate size would ask for a
+    >24k-dof dense coarse space; the builder auto-coarsens instead of
+    failing, and the result stays under the ceiling."""
+    import warnings
+
+    from cmad_tpu.fem.two_level import (
+        DENSE_COARSE_CEILING,
+        build_two_level_pattern,
+        build_two_level_pattern_mixed,
+    )
+
+    rng = np.random.RandomState(0)
+    n_nodes = 310_000
+    coords = rng.uniform(size=(n_nodes, 3))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pattern = build_two_level_pattern(
+            coords, np.zeros(0, dtype=np.int64), 3 * n_nodes)
+    assert any("nodes/aggregate" in str(x.message) for x in w)
+    assert pattern.coarse_dim <= DENSE_COARSE_CEILING
+    assert pattern.num_aggregates > 100  # still a real coarse space
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pm = build_two_level_pattern_mixed(
+            coords, np.zeros(0, dtype=np.int64), 4 * n_nodes)
+    assert any("nodes/aggregate" in str(x.message) for x in w)
+    assert pm.coarse_dim <= DENSE_COARSE_CEILING
+
+
+def test_pattern_no_warning_under_ceiling():
+    import warnings
+
+    from cmad_tpu.fem.two_level import build_two_level_pattern
+
+    rng = np.random.RandomState(1)
+    coords = rng.uniform(size=(500, 3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_two_level_pattern(coords, np.zeros(0, dtype=np.int64),
+                                1500)
+    assert not [x for x in w if "nodes/aggregate" in str(x.message)]
