@@ -7,12 +7,14 @@ against the reference measured on host CPU
 (``benchmarks/measure_reference_baseline.py``):
 
 - ``value`` (headline): the PUBLIC streaming-history API
-  ``ops/return_map.py make_j2_history_drive`` — a ``lax.scan`` over
-  time steps carrying component-major (8, N) state, tile-padded once
-  (Pallas kernel on TPU). This is the held-state workload: time-stepped
-  point histories / calibration ensembles. No grad_u conversion or
-  sigma materialization in the timed region; ``bytes_per_update`` and
-  the roofline figures are for exactly this workload.
+  ``ops/return_map.py make_j2_history_drive`` — a (DRIVE_T, 8, N)
+  strain history against component-major (8, N) state, tile-padded
+  once. On TPU the whole history is ONE pallas_call (grid =
+  tiles x chunks, state VMEM-resident end to end). This is the
+  held-state workload: time-stepped point histories / calibration
+  ensembles. No grad_u conversion or sigma materialization in the
+  timed region; ``bytes_per_update`` and the roofline figures are for
+  exactly this workload.
 - ``fe_dispatch_updates_per_sec``: what COUPLED FE assembly dispatches
   per call since the fem/j2_block.py fast path — AoS (N, 7) state
   packed to SoA, the differentiable SoA kernel (ops/j2_soa_ad.py), and
@@ -194,30 +196,48 @@ def measure_ours(batch: int | None = None, reps: int = 5):
 
     ups_fe = timed_chain(fe_chain, xi_aos, de_soa, scalars)
 
-    # THE HEADLINE: the public streaming-history API — lax.scan over
-    # time steps carrying tile-aligned (8, N) state, a materialized
-    # (T, 8, N) strain history streamed step by step (Pallas kernel on
-    # TPU, XLA-fused off-TPU).
+    # THE HEADLINE: the public streaming-history API — a (T, 8, N)
+    # strain history against tile-aligned component-major (8, N) state.
+    # On TPU the whole chunk-aligned history runs as ONE pallas_call
+    # (grid = tiles x chunks, state resident in VMEM end to end); HBM
+    # traffic is 32 + 64/T B/update. T = DRIVE_T steps per drive on
+    # half the point batch keeps the (T, 8, N) history at ~2 GB.
     drive = make_j2_history_drive(params)
-    xi0_soa = pack_state_soa(xi_aos)
-    de_hist = jnp.tile(de_soa[None], (inner, 1, 1))
+    n_drive = batch // 2
+    xi0_soa = pack_state_soa(xi_aos[:n_drive])
+    de_drive = de_soa[:, :n_drive]
+    de_hist = jnp.tile(de_drive[None], (DRIVE_T, 1, 1))
 
     def drive_run(x0, dh, p):
         return drive(x0, dh, p)
 
-    ups = timed_chain(jax.jit(drive_run), xi0_soa, de_hist, pv)
+    def timed_drive(dh):
+        out = drive_run(xi0_soa, dh, pv)
+        _ = float(jnp.sum(out))  # compile barrier
+        best = float("inf")
+        for _round in range(3):
+            t0 = time.perf_counter()
+            st = xi0_soa
+            for _ in range(reps):
+                st = drive_run(st, dh, pv)
+            _ = float(jnp.sum(st))
+            best = min(best, time.perf_counter() - t0)
+        return n_drive * DRIVE_T * reps / best
+
+    ups = timed_drive(de_hist)
 
     # mixed-regime row: same workload at a majority-elastic mix (the
     # default batch is ~99% plastic after the chained steps, which
     # flatters a branch-free kernel — a realistic FE step is mostly
-    # elastic)
-    # 8 chained steps accumulate the increment linearly, so the scale
-    # must keep ~70% of points below yield at the END of the chain
-    de_mixed = de_soa * 0.045
-    de_hist_mixed = jnp.tile(de_mixed[None], (inner, 1, 1))
-    ups_mixed = timed_chain(jax.jit(drive_run), xi0_soa, de_hist_mixed, pv)
+    # elastic). DRIVE_T chained steps accumulate the increment
+    # linearly, so the scale must keep ~60% of points below yield at
+    # the END of one drive
+    de_hist_mixed = jnp.tile((de_drive * (0.045 * 8 / DRIVE_T))[None],
+                             (DRIVE_T, 1, 1))
+    ups_mixed = timed_drive(de_hist_mixed)
     xi_mix_fin = drive(xi0_soa, de_hist_mixed, pv)
     frac_mixed = float((np.asarray(xi_mix_fin[6]) > 0).mean())
+    del de_hist, de_hist_mixed
 
     # convergence sanity: residual at the returned state
     C = model.C_batched(xi, xi_prev, params.values,
@@ -318,14 +338,18 @@ def measure_notch_wall():
 # Physical HBM traffic per SoA radial-return update, f32 component-major
 # layout (8-row padded streams). Per-step dispatch: reads xi_soa (8) +
 # de_soa (8), writes xi_soa (8) -> 96 B/update. The TPU history drive
-# runs the FUSED chunk kernel (pallas_radial_return.py HIST_CHUNK=8
-# steps per invocation, state resident in VMEM across the chunk), so
-# the state traffic amortizes: 32 (de stream) + 64/8 (xi in+out per
-# chunk) = 40 B/update. Useful (unpadded) traffic is 5/8 of either
-# figure; charging the padding rows is the honest accounting. The
-# kernel is memory-bound, so the HBM roofline is the ceiling.
+# runs the WHOLE-HISTORY kernel (pallas_radial_return.py
+# _kernel_soa_hist_full: one pallas_call, grid = tiles x chunks, state
+# resident in VMEM for the full T steps), so the state traffic
+# amortizes over the history: 32 (de stream) + 64/T (xi in+out once)
+# B/update. Useful (unpadded) traffic is 5/8 (de) resp. 7/8 (xi) of
+# either figure; charging the padding rows is the honest accounting.
+# Per the r3 roofline experiment (benchmarks/local_kernels/
+# roofline_experiment.json) the kernel is issue-rate-bound past ~40
+# B/update, not HBM-bound — the roofline % is context, not the ceiling.
+DRIVE_T = 32  # history steps per headline drive call (4 chunks)
 _BYTES_PER_UPDATE_STEP = 24 * 4
-_BYTES_PER_UPDATE_FUSED = 8 * 4 + (16 * 4) // 8
+_BYTES_PER_UPDATE_FUSED = 8 * 4 + (16 * 4) // DRIVE_T
 
 
 def _bytes_per_update(backend: str) -> int:
@@ -379,9 +403,10 @@ def main() -> None:
         "backend": backend,
         "device_kind": device_kind,
         "dispatch": "public streaming-history API (ops/return_map.py "
-                    "make_j2_history_drive): lax.scan over time steps "
-                    "carrying tile-aligned component-major (8, N) "
-                    "state; Pallas kernel on TPU, XLA-fused off-TPU",
+                    f"make_j2_history_drive), T={DRIVE_T}-step history: "
+                    "ONE whole-history pallas_call on TPU (state "
+                    "VMEM-resident across the grid's chunk axis), "
+                    "lax.scan of XLA-fused steps off-TPU",
         "fe_dispatch_updates_per_sec": round(ups_fe, 1),
         "fe_dispatch_vs_baseline": (round(ups_fe / baseline, 2)
                                     if baseline else None),

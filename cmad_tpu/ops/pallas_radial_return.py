@@ -120,10 +120,12 @@ _TILE_SOA = 8192
 TILE_SOA = _TILE_SOA  # public: callers pre-pad streaming batches once
 
 
-def _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D):
+def _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D,
+                 newton_iters: int = _NEWTON_ITERS):
     """Value-level radial return on seven state rows + six strain rows
     (all (1, tile)); returns the seven updated rows. Shared by the
-    single-step and fused-history SoA kernels."""
+    single-step and fused-history SoA kernels. ``newton_iters`` is
+    exposed for the roofline experiments in benchmarks/local_kernels."""
     x0, x1, x2, x3, x4, x5, alpha_prev = xi_rows
     e0, e1, e2, e3, e4, e5 = de_rows
 
@@ -150,10 +152,10 @@ def _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D):
 
     # statically unrolled: a lax.fori_loop here is a REAL loop in the
     # Mosaic kernel and costs ~3x end-to-end (measured r2: 1.2 vs
-    # 3.3 G updates/s on the SoA form); eight unrolled iterations of
+    # 3.3 G updates/s on the SoA form); the unrolled iterations of
     # ~10 VPU ops fuse into the surrounding elementwise pass instead
     dg = jnp.zeros_like(alpha_prev)
-    for _ in range(_NEWTON_ITERS):
+    for _ in range(newton_iters):
         e = jnp.exp(-D * (alpha_prev + dg))
         g = phi_tr - 3.0 * mu * dg - Y - S * (1.0 - e)
         dgd = -3.0 * mu - S * D * e
@@ -238,6 +240,79 @@ def _call_soa_hist(xi_soa: JaxArray, de_hist: JaxArray, scalars: JaxArray,
 # 8) plus pipeline buffers — comfortably inside VMEM, and 8 already
 # drops the traffic to 40 B/update (the xi term is 1/t_steps)
 HIST_CHUNK = 8
+
+
+def _kernel_soa_hist_full(scalars_ref, xi_ref, de_ref, out_ref, *,
+                          t_steps: int):
+    """Whole-history kernel: grid = (tiles, chunks) with the CHUNK axis
+    innermost, so the output block index (0, i) is constant across a
+    tile's chunk steps and Mosaic keeps the state resident in VMEM for
+    the ENTIRE history — the out ref doubles as the xi carrier. One
+    pallas_call replaces the lax.scan over chunk blocks, whose
+    per-iteration dynamic-slice copies add ~64 B/update of hidden HBM
+    traffic (measured r3: public scan drive 4.6 G vs raw chunk kernel
+    6.4 G updates/s). HBM per update falls to 24 + 64/T B."""
+    c = pl.program_id(1)
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    @pl.when(c == 0)
+    def _seed():
+        out_ref[...] = xi_ref[...]
+
+    xi_rows = tuple(out_ref[r:r + 1, :] for r in range(7))
+    for t in range(t_steps):  # static unroll (one chunk)
+        de_rows = tuple(de_ref[t, r:r + 1, :] for r in range(6))
+        xi_rows = _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D)
+    for r in range(7):
+        out_ref[r:r + 1, :] = xi_rows[r]
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "interpret"))
+def _call_soa_hist_full(xi_soa: JaxArray, de_hist: JaxArray,
+                        scalars: JaxArray, t_steps: int,
+                        interpret: bool = False) -> JaxArray:
+    T, _, B = de_hist.shape
+    n_chunks = T // t_steps
+    grid = (B // _TILE_SOA, n_chunks)
+    return pl.pallas_call(
+        functools.partial(_kernel_soa_hist_full, t_steps=t_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, _TILE_SOA), lambda i, c, s: (0, i)),
+                pl.BlockSpec((t_steps, 8, _TILE_SOA),
+                             lambda i, c, s: (c, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((8, _TILE_SOA),
+                                   lambda i, c, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, B), xi_soa.dtype),
+        interpret=interpret,
+    )(scalars, xi_soa, de_hist)
+
+
+def soa_history_full_pallas(xi_soa: JaxArray, de_hist: JaxArray,
+                            scalars: JaxArray,
+                            interpret: bool = False) -> JaxArray:
+    """Whole-history drive in ONE pallas_call:
+    ``xi (8, N), de_hist (T, 8, N) -> xi' (8, N)``. N must be
+    tile-aligned and T a multiple of HIST_CHUNK (the public drive pads
+    N once and routes any T remainder through the chunk kernel)."""
+    if xi_soa.shape[1] % _TILE_SOA:
+        raise ValueError(
+            f"whole-history kernel requires tile-aligned N "
+            f"(multiple of {_TILE_SOA}); got {xi_soa.shape[1]}")
+    if de_hist.shape[0] % HIST_CHUNK:
+        raise ValueError(
+            f"whole-history kernel requires T a multiple of "
+            f"{HIST_CHUNK}; got {de_hist.shape[0]}")
+    return _call_soa_hist_full(xi_soa, de_hist, scalars,
+                               t_steps=HIST_CHUNK, interpret=interpret)
 
 
 def soa_history_chunk_pallas(xi_soa: JaxArray, de_chunk: JaxArray,

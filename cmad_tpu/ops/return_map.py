@@ -218,11 +218,14 @@ def make_j2_history_drive(parameters, record_alpha: bool = False,
             HIST_CHUNK,
             TILE_SOA as _tile,
             soa_history_chunk_pallas,
+            soa_history_full_pallas,
         )
 
         # interpreter mode off-TPU (``fused=True`` in CPU tests)
         soa_history_chunk_pallas = functools.partial(
             soa_history_chunk_pallas, interpret=not on_tpu)
+        soa_history_full_pallas = functools.partial(
+            soa_history_full_pallas, interpret=not on_tpu)
     elif on_tpu:
         from cmad_tpu.ops.pallas_radial_return import TILE_SOA as _tile
     else:
@@ -241,13 +244,14 @@ def make_j2_history_drive(parameters, record_alpha: bool = False,
             chunks, rem = divmod(T, HIST_CHUNK)
             xi = xi0_soa
             if chunks:
-                blocks = de_hist[:chunks * HIST_CHUNK].reshape(
-                    chunks, HIST_CHUNK, *de_hist.shape[1:])
-
-                def one_chunk(x, dh):
-                    return soa_history_chunk_pallas(x, dh, scalars), None
-
-                xi, _ = jax.lax.scan(one_chunk, xi, blocks)
+                # ONE pallas_call for the whole chunk-aligned history:
+                # grid (tiles, chunks) with chunks innermost keeps the
+                # state in VMEM end to end; the former lax.scan over
+                # chunk blocks paid a per-iteration dynamic-slice copy
+                # of the (CHUNK, 8, N) block (~64 B/update of hidden
+                # HBM traffic — measured 28% of the r3 headline)
+                xi = soa_history_full_pallas(
+                    xi, de_hist[:chunks * HIST_CHUNK], scalars)
             if rem:
                 xi = soa_history_chunk_pallas(
                     xi, de_hist[chunks * HIST_CHUNK:], scalars)

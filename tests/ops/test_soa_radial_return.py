@@ -164,3 +164,38 @@ def test_fused_history_drive_matches_per_step():
     # max 1.4e-4 relative on 1.3% of points)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_whole_history_kernel_bit_exact_vs_chunked():
+    """The single-pallas_call whole-history kernel (grid =
+    tiles x chunks, state VMEM-resident across the chunk axis) is
+    BIT-exact vs sequential chunk-kernel applications — same op order
+    per point, multi-tile and multi-chunk."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmad_tpu.ops.pallas_radial_return import (
+        HIST_CHUNK,
+        TILE_SOA,
+        soa_history_chunk_pallas,
+        soa_history_full_pallas,
+    )
+
+    rng = np.random.RandomState(7)
+    N, T = TILE_SOA * 2, 3 * HIST_CHUNK
+    xi0 = np.zeros((8, N), np.float32)
+    xi0[:6] = rng.normal(0, 30, (6, N))
+    de = np.zeros((T, 8, N), np.float32)
+    de[:, :6] = rng.normal(0, 2e-3, (T, 6, N))
+    scalars = jnp.asarray([76923.1, 115384.6, 250.0, 200.0, 20.0],
+                          jnp.float32)
+    xi0, de = jnp.asarray(xi0), jnp.asarray(de)
+
+    ref = xi0
+    for c in range(T // HIST_CHUNK):
+        ref = soa_history_chunk_pallas(
+            ref, de[c * HIST_CHUNK:(c + 1) * HIST_CHUNK], scalars,
+            interpret=True)
+    full = soa_history_full_pallas(xi0, de, scalars, interpret=True)
+    assert float((np.asarray(full)[6] > 0).any())  # actually plastic
+    assert float(jnp.abs(ref - full).max()) == 0.0
