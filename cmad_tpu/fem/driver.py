@@ -145,6 +145,102 @@ def fe_history_solver_log(fe_problem: FEProblem, state: FEState,
     return log
 
 
+def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
+                                 t_schedule: Sequence[float],
+                                 nonlinear_solver_settings: dict | None = None,
+                                 linear_solver_settings: dict | None = None,
+                                 U_init=None, xi_init_by_block=None):
+    """Stepped drive: ONE fused device program per time step.
+
+    The middle ground between the scanned trajectory (the whole history
+    as one device execution) and the host loop (one dispatch per Newton
+    iteration): each time step runs the full ``lax.while_loop`` Newton —
+    including all its Krylov solves — as a single dispatch, with a host
+    sync between steps.
+
+    Why it exists: remote-attached accelerators can kill a single
+    device execution that runs for minutes (see
+    ``benchmarks/tunnel_repro/``), which rules out the scanned
+    trajectory on large meshes there, while the host loop pays the
+    link's full dispatch latency per Newton iteration. The stepped
+    driver pays ``n_steps`` dispatches total and bounds each program's
+    run time to one step's Newton. Unlike the scan it also surfaces
+    the TRUE converged residual of every step, fused into the same
+    dispatch (one extra residual-only assembly), so a cap-truncated
+    Newton cannot ship a silently wrong history.
+
+    Returns ``(FEState, solver_log)`` with per-step
+    ``{"final_residual", "initial_residual"}`` entries (parity with
+    the host driver's log shape minus the host-only iteration count).
+    """
+    import warnings
+
+    from cmad_tpu.fem.assembly import assemble_global
+    from cmad_tpu.fem.sparse_solve import (
+        _embedded_bc_enforce,
+        _embedded_residual,
+    )
+
+    if len(t_schedule) < 2:
+        raise ValueError(
+            f"t_schedule needs >= 2 entries; got {len(t_schedule)}")
+    nls = {**default_nonlinear_settings(),
+           **(nonlinear_solver_settings or {})}
+    lss = {**DEFAULT_LINEAR_SOLVER_SETTINGS,
+           **(linear_solver_settings or {})}
+    nls_frozen, lss_frozen = freeze_settings(nls), freeze_settings(lss)
+    params = params_by_block_from_models(fe_problem)
+    state = FEState.from_problem(fe_problem, t_init=float(t_schedule[0]),
+                                 U_init=None if U_init is None
+                                 else np.asarray(U_init),
+                                 xi_init_by_block=xi_init_by_block)
+    fe_arrays = fe_problem.kernel_arrays
+    presc_idx = fe_arrays.prescribed_indices
+
+    def residual_norm(params_by_block, U, U_prev, xi_prev, t):
+        pv = jnp.asarray(fe_problem.dof_map.evaluate_prescribed_values(
+            fe_arrays.dbc_arrays, t))
+        K_bcoo, R, _ = assemble_global(
+            fe_problem, fe_arrays, params_by_block, U, U_prev, t,
+            xi_prev_by_block=xi_prev)
+        _, K_ii = _embedded_bc_enforce(K_bcoo, presc_idx)
+        r = _embedded_residual(R, K_bcoo, U, presc_idx, pv, K_ii)
+        return jnp.linalg.norm(r)
+
+    @jit
+    def step(params_by_block, U_prev, xi_prev, t):
+        U, xi_solved = _fe_newton_solve_ad(
+            fe_problem, fe_arrays, params_by_block, U_prev, xi_prev, t,
+            nls_frozen, lss_frozen)
+        xi = {**xi_prev, **xi_solved}
+        norm = residual_norm(params_by_block, U, U_prev, xi_prev, t)
+        norm0 = residual_norm(params_by_block, U_prev, U_prev, xi_prev, t)
+        return U, xi, norm, norm0
+
+    dtype = config.real_dtype()
+    U = jnp.asarray(state.U_at(0), dtype=dtype)
+    xi = {b: jnp.asarray(state.xi_at(0, b))
+          for b in fe_problem.models_by_block}
+    log: list[dict[str, float]] = []
+    for i, t in enumerate([float(x) for x in t_schedule[1:]], start=1):
+        U, xi, norm_j, norm0_j = step(params, U, xi,
+                                      jnp.asarray(t, dtype=dtype))
+        norm, norm0 = float(norm_j), float(norm0_j)  # host sync per step
+        state.append(np.asarray(U), {b: np.asarray(v)
+                                     for b, v in xi.items()}, t_new=t)
+        log.append({"final_residual": norm, "initial_residual": norm0})
+        if (norm >= 100.0 * float(nls["abs tol"])
+                and norm >= 100.0 * float(nls["rel tol"]) * norm0):
+            warnings.warn(
+                f"stepped FE Newton at step {i} (t={t}) returned "
+                f"||R|| = {norm:.3e} (||R0|| = {norm0:.3e}), far above "
+                f"abs tol {float(nls['abs tol']):.1e} / rel "
+                f"{float(nls['rel tol']):.1e} — likely an iteration-cap "
+                "exit; check the linear-solver configuration",
+                RuntimeWarning, stacklevel=2)
+    return state, log
+
+
 def fe_quasistatic_drive(fe_problem: FEProblem,
                          t_schedule: Sequence[float],
                          U_init: np.ndarray | None = None,

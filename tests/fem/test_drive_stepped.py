@@ -1,0 +1,108 @@
+"""Stepped FE drive: one fused device program per time step.
+
+The stepped driver (`fem/driver.py fe_quasistatic_drive_stepped`)
+exists because of a measured environment constraint
+(`benchmarks/tunnel_repro/results.json`): a remote-attached TPU worker
+kills any SINGLE device execution past a wall-clock ceiling, which
+rules out the whole-history scan driver at scale there, while the
+host-loop driver pays per-Newton-iteration dispatch latency.  These
+tests pin its contract: trajectory agreement with the host driver,
+log shape, and the iteration-cap warning surfacing.
+
+Reference driver being re-designed: /root/reference/cmad/fem/driver.py
+(host loop only; the reference has no fused-step option).
+"""
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pytest
+
+from cmad_tpu.fem.driver import (
+    fe_history_solver_log,
+    fe_quasistatic_drive,
+    fe_quasistatic_drive_stepped,
+)
+
+from tests.fem.test_fe_core import (
+    GlobalResidualMode,
+    SmallRateElasticPlastic,
+    _mesh_and_dofmap,
+    _plastic_params,
+    build_fe_problem,
+)
+from cmad_tpu.global_residuals.small_disp_equilibrium import (
+    SmallDispEquilibrium,
+)
+
+
+def _problem():
+    mesh, dof_map = _mesh_and_dofmap(ramp=0.003)
+    gr = SmallDispEquilibrium(ndims=3)
+    model = SmallRateElasticPlastic(_plastic_params())
+    return build_fe_problem(
+        mesh, dof_map, gr, {"all": model},
+        modes_by_block={"all": GlobalResidualMode.COUPLED})
+
+
+def test_stepped_matches_host_driver():
+    fe = _problem()
+    t_schedule = [0.0, 0.5, 1.0]
+    state_host, _ = fe_quasistatic_drive(fe, t_schedule)
+    state_step, log_step = fe_quasistatic_drive_stepped(fe, t_schedule)
+
+    assert len(log_step) == len(t_schedule) - 1
+    for k in range(len(t_schedule)):
+        # both sides are independently converged Newton states
+        # (rel tol 1e-10) solved by differently-fused programs; see
+        # the tolerance discussion in test_drive_restart.py
+        assert np.allclose(state_step.U_at(k), state_host.U_at(k),
+                           atol=1e-10)
+        assert np.allclose(state_step.xi_at(k, "all"),
+                           state_host.xi_at(k, "all"), atol=1e-7)
+    # the fused step reports the SAME true embedded residual the
+    # post-hoc recorded-history verifier recomputes from the state
+    log_ver = fe_history_solver_log(fe, state_step, t_schedule)
+    for entry, entry_ver in zip(log_step, log_ver):
+        assert set(entry) == {"final_residual", "initial_residual"}
+        assert entry["final_residual"] <= 1e-8 * max(
+            1.0, entry["initial_residual"])
+        assert np.isclose(entry["initial_residual"],
+                          entry_ver["initial_residual"], rtol=1e-6)
+        assert np.isclose(entry["final_residual"],
+                          entry_ver["final_residual"],
+                          rtol=1e-3, atol=1e-12)
+
+
+def test_stepped_restart_from_recorded_state():
+    fe = _problem()
+    full, _ = fe_quasistatic_drive_stepped(fe, [0.0, 0.25, 0.5, 0.75, 1.0])
+    tail, _ = fe_quasistatic_drive_stepped(
+        fe, [0.5, 0.75, 1.0], U_init=full.U_at(2),
+        xi_init_by_block={"all": full.xi_at(2, "all")})
+    for k_tail, k_full in ((1, 3), (2, 4)):
+        assert np.allclose(tail.U_at(k_tail), full.U_at(k_full),
+                           atol=1e-10)
+        assert np.allclose(tail.xi_at(k_tail, "all"),
+                           full.xi_at(k_full, "all"), atol=1e-7)
+
+
+def test_stepped_warns_on_iteration_cap():
+    fe = _problem()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fe_quasistatic_drive_stepped(
+            fe, [0.0, 1.0],
+            nonlinear_solver_settings={"max iters": 1,
+                                       "abs tol": 1e-14,
+                                       "rel tol": 1e-14})
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("iteration-cap" in m for m in msgs)
+
+
+def test_stepped_rejects_short_schedule():
+    fe = _problem()
+    with pytest.raises(ValueError, match="t_schedule"):
+        fe_quasistatic_drive_stepped(fe, [0.0])
