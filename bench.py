@@ -7,14 +7,16 @@ against the reference measured on host CPU
 (``benchmarks/measure_reference_baseline.py``):
 
 - ``value`` (headline): the PUBLIC streaming-history API
-  ``ops/return_map.py make_j2_history_drive`` — a (DRIVE_T, 8, N)
-  strain history against component-major (8, N) state, tile-padded
-  once. On TPU the whole history is ONE pallas_call (grid =
-  tiles x chunks, state VMEM-resident end to end). This is the
-  held-state workload: time-stepped point histories / calibration
-  ensembles. No grad_u conversion or sigma materialization in the
-  timed region; ``bytes_per_update`` and the roofline figures are for
-  exactly this workload.
+  ``ops/return_map.py make_j2_history_drive`` — a DRIVE_T-step strain
+  history against component-major state, tile-padded once. On TPU the
+  whole history is ONE pallas_call (grid = tiles x chunks, state
+  VMEM-resident end to end) in the ``layout='wide'`` form (component c
+  on sublane rows [8c, 8c+8)), with the history GENERATED in that
+  layout; ``soa8_updates_per_sec`` is the same drive in the default
+  (8, N) layout. This is the held-state workload: time-stepped point
+  histories / calibration ensembles. No grad_u conversion or sigma
+  materialization in the timed region; ``bytes_per_update`` and the
+  roofline figures are for exactly this workload.
 - ``fe_dispatch_updates_per_sec``: what COUPLED FE assembly dispatches
   per call since the fem/j2_block.py fast path — AoS (N, 7) state
   packed to SoA, the differentiable SoA kernel (ops/j2_soa_ad.py), and
@@ -196,48 +198,76 @@ def measure_ours(batch: int | None = None, reps: int = 5):
 
     ups_fe = timed_chain(fe_chain, xi_aos, de_soa, scalars)
 
-    # THE HEADLINE: the public streaming-history API — a (T, 8, N)
-    # strain history against tile-aligned component-major (8, N) state.
-    # On TPU the whole chunk-aligned history runs as ONE pallas_call
-    # (grid = tiles x chunks, state resident in VMEM end to end); HBM
-    # traffic is 32 + 64/T B/update. T = DRIVE_T steps per drive on
-    # half the point batch keeps the (T, 8, N) history at ~2 GB.
+    # THE HEADLINE: the public streaming-history API — a T-step strain
+    # history against tile-aligned component-major state. On TPU the
+    # whole chunk-aligned history runs as ONE pallas_call (grid =
+    # tiles x chunks, state resident in VMEM end to end; HBM traffic
+    # 32 + 64/T B/update) in the WIDE layout (``layout='wide'``:
+    # component c on rows [8c, 8c+8) of a (64, N/8) array — 1.21x the
+    # default layout, 52% of HBM roofline). The history is GENERATED in
+    # that layout (one conversion outside the timed region — a
+    # boundary relayout inside the loop would cost ~4x the kernel;
+    # pallas_radial_return.py layout note). ``soa8_updates_per_sec``
+    # reports the default-layout drive on the identical history.
+    # T = DRIVE_T steps on half the point batch keeps the history ~2 GB.
     drive = make_j2_history_drive(params)
     n_drive = batch // 2
     xi0_soa = pack_state_soa(xi_aos[:n_drive])
     de_drive = de_soa[:, :n_drive]
-    de_hist = jnp.tile(de_drive[None], (DRIVE_T, 1, 1))
 
-    def drive_run(x0, dh, p):
-        return drive(x0, dh, p)
-
-    def timed_drive(dh):
-        out = drive_run(xi0_soa, dh, pv)
+    def timed_drive(drive_fn, x0, dh):
+        out = drive_fn(x0, dh, pv)
         _ = float(jnp.sum(out))  # compile barrier
         best = float("inf")
         for _round in range(3):
             t0 = time.perf_counter()
-            st = xi0_soa
+            st = x0
             for _ in range(reps):
-                st = drive_run(st, dh, pv)
+                st = drive_fn(st, dh, pv)
             _ = float(jnp.sum(st))
             best = min(best, time.perf_counter() - t0)
         return n_drive * DRIVE_T * reps / best
 
-    ups = timed_drive(de_hist)
+    # the histories are ~4.3 GB each at T=64 — build/convert/free one
+    # at a time (two may coexist at any moment; HBM is 16 GB)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from cmad_tpu.ops.pallas_radial_return import _from_wide, _to_wide
+
+        drive_wide = make_j2_history_drive(params, layout="wide")
+        xi0_wide = _to_wide(xi0_soa)
+
+    de_hist = jnp.tile(de_drive[None], (DRIVE_T, 1, 1))
+    ups_soa8 = timed_drive(drive, xi0_soa, de_hist)
+    if on_tpu:
+        # one-time conversion OUTSIDE the timed region (the documented
+        # usage: produce the history in the device-preferred layout)
+        de_hist_wide = _to_wide(de_hist)
+        del de_hist
+        ups = timed_drive(drive_wide, xi0_wide, de_hist_wide)
+        del de_hist_wide
+    else:
+        ups = ups_soa8
+        del de_hist
 
     # mixed-regime row: same workload at a majority-elastic mix (the
     # default batch is ~99% plastic after the chained steps, which
     # flatters a branch-free kernel — a realistic FE step is mostly
-    # elastic). DRIVE_T chained steps accumulate the increment
-    # linearly, so the scale must keep ~60% of points below yield at
-    # the END of one drive
+    # elastic). ~60% of points stay below yield at the END of one
+    # drive (DRIVE_T chained steps accumulate the increment linearly)
     de_hist_mixed = jnp.tile((de_drive * (0.045 * 8 / DRIVE_T))[None],
                              (DRIVE_T, 1, 1))
-    ups_mixed = timed_drive(de_hist_mixed)
-    xi_mix_fin = drive(xi0_soa, de_hist_mixed, pv)
+    if on_tpu:
+        de_mixed_wide = _to_wide(de_hist_mixed)
+        del de_hist_mixed
+        ups_mixed = timed_drive(drive_wide, xi0_wide, de_mixed_wide)
+        xi_mix_fin = _from_wide(drive_wide(xi0_wide, de_mixed_wide, pv))
+        del de_mixed_wide
+    else:
+        ups_mixed = timed_drive(drive, xi0_soa, de_hist_mixed)
+        xi_mix_fin = drive(xi0_soa, de_hist_mixed, pv)
+        del de_hist_mixed
     frac_mixed = float((np.asarray(xi_mix_fin[6]) > 0).mean())
-    del de_hist, de_hist_mixed
 
     # convergence sanity: residual at the returned state
     C = model.C_batched(xi, xi_prev, params.values,
@@ -246,8 +276,8 @@ def measure_ours(batch: int | None = None, reps: int = 5):
     frac_plastic = float((np.asarray(xi[:, 6]) > 0).mean())
 
     backend = jax.default_backend()
-    return (ups, ups_fe, ups_generic, ups_mixed, frac_mixed, max_res,
-            frac_plastic, backend)
+    return (ups, ups_soa8, ups_fe, ups_generic, ups_mixed, frac_mixed,
+            max_res, frac_plastic, backend)
 
 
 def _fields(grad_u):
@@ -345,9 +375,16 @@ def measure_notch_wall():
 # B/update. Useful (unpadded) traffic is 5/8 (de) resp. 7/8 (xi) of
 # either figure; charging the padding rows is the honest accounting.
 # Per the r3 roofline experiment (benchmarks/local_kernels/
-# roofline_experiment.json) the kernel is issue-rate-bound past ~40
-# B/update, not HBM-bound — the roofline % is context, not the ceiling.
-DRIVE_T = 32  # history steps per headline drive call (4 chunks)
+# roofline_experiment.json) the NARROW kernel saturates on issue rate
+# past ~40 B/update; the wide layout lifts part of that (1.21x, 52% of
+# roofline) — the residual gap is dispatch overhead + issue rate, so
+# the roofline % is context, not the ceiling.
+# history steps per headline drive call (8 chunks). 64 is a realistic
+# calibration-history length; it also amortizes the link's measured
+# fixed per-dispatch overhead (~4.3 ms/call through the axon tunnel —
+# see benchmarks/local_kernels/README.md r3 wide-layout section) over
+# 2x the work. The (T, 8, N) history is ~4.3 GB at the default batch.
+DRIVE_T = 64
 _BYTES_PER_UPDATE_STEP = 24 * 4
 _BYTES_PER_UPDATE_FUSED = 8 * 4 + (16 * 4) // DRIVE_T
 
@@ -383,7 +420,7 @@ def main() -> None:
     else:
         baseline = None
 
-    (ups, ups_fe, ups_generic, ups_mixed, frac_mixed, max_res,
+    (ups, ups_soa8, ups_fe, ups_generic, ups_mixed, frac_mixed, max_res,
      frac_plastic, backend) = measure_ours()
     notch = None
     try:
@@ -405,8 +442,12 @@ def main() -> None:
         "dispatch": "public streaming-history API (ops/return_map.py "
                     f"make_j2_history_drive), T={DRIVE_T}-step history: "
                     "ONE whole-history pallas_call on TPU (state "
-                    "VMEM-resident across the grid's chunk axis), "
-                    "lax.scan of XLA-fused steps off-TPU",
+                    "VMEM-resident across the grid's chunk axis) in the "
+                    "layout='wide' form, history generated in that "
+                    "layout; lax.scan of XLA-fused steps off-TPU",
+        "soa8_updates_per_sec": round(ups_soa8, 1),
+        "soa8_note": "the same drive in the default (8, N) "
+                     "component-major layout",
         "fe_dispatch_updates_per_sec": round(ups_fe, 1),
         "fe_dispatch_vs_baseline": (round(ups_fe / baseline, 2)
                                     if baseline else None),

@@ -29,8 +29,9 @@ REPO_ROOT = HERE.parent.parent
 REFERENCE = "/root/reference"
 
 
-def measure_ours(mesh_path: Path, host_loop: bool = False,
-                 precon: str = "jacobi") -> dict:
+def measure_ours(mesh_path: Path, driver: str = "scan",
+                 precon: str = "jacobi",
+                 chunk_iters: int | None = None) -> dict:
     sys.path.insert(0, str(REPO_ROOT))
     import jax
     import jax.numpy as jnp
@@ -70,7 +71,7 @@ def measure_ours(mesh_path: Path, host_loop: bool = False,
             kwargs["linear_solver_settings"] = dict(deck["linear solver"])
         ts = [float(t) for t in bundle.t_schedule]
 
-        if host_loop:
+        if driver == "host":
             # one dispatch per Newton iteration with a host sync: the
             # robust path for large meshes through the device tunnel
             # (a fused multi-minute Newton-x-Krylov-x-time scan can
@@ -88,6 +89,29 @@ def measure_ours(mesh_path: Path, host_loop: bool = False,
             u_final = run_once()
             warm = time.perf_counter() - t0
             cold = warm
+        elif driver == "stepped":
+            # one fused device program per TIME STEP (full Newton +
+            # Krylov + true-residual check in one dispatch): bounds
+            # each execution under the remote worker's ~50 s ceiling
+            # (benchmarks/tunnel_repro/) while paying n_steps
+            # dispatches instead of the host loop's
+            # n_steps x newton_iters
+            from cmad_tpu.fem.driver import fe_quasistatic_drive_stepped
+
+            def run_once():
+                state, log = fe_quasistatic_drive_stepped(
+                    fe, ts, max_iters_per_dispatch=chunk_iters, **kwargs)
+                return np.asarray(state.U_at(len(ts) - 1)), log
+
+            t0 = time.perf_counter()
+            u_final, log = run_once()  # compile + run
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            u_final, log = run_once()
+            warm = time.perf_counter() - t0
+            worst = max(e["final_residual"] for e in log)
+            print(f"stepped: worst final residual {worst:.3e}",
+                  file=sys.stderr)
         else:
             trajectory = build_fe_quasistatic_trajectory(fe, **kwargs)
             params = params_by_block_from_models(fe)
@@ -117,7 +141,10 @@ def measure_ours(mesh_path: Path, host_loop: bool = False,
         "cold_value": round(cold, 2),
         "unit": "s",
         "backend": backend,
-        "driver": "host-loop" if host_loop else "scan",
+        "driver": {"host": "host-loop", "stepped": "stepped",
+                   "scan": "scan"}[driver]
+        + (f"-K{chunk_iters}" if driver == "stepped" and chunk_iters
+           else ""),
         "preconditioner": precon if backend == "tpu" else "direct",
         "n_elems": int(fe.mesh.connectivity.shape[0]),
         "n_dofs": int(fe.dof_map.num_total_dofs),
@@ -188,18 +215,28 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("who", choices=["ours", "reference"])
     ap.add_argument("--mesh", required=True, type=Path)
-    ap.add_argument("--host-loop", action="store_true")
+    ap.add_argument("--host-loop", action="store_true",
+                    help="deprecated alias for --driver host")
+    ap.add_argument("--driver", default=None,
+                    choices=["scan", "host", "stepped"])
+    ap.add_argument("--chunk-iters", type=int, default=None,
+                    help="stepped driver: max Newton iterations fused "
+                         "per dispatch (bounds device-program duration)")
     ap.add_argument("--precon", default="jacobi",
                     choices=["jacobi", "chebyshev", "two_level"])
     args = ap.parse_args()
+    driver = args.driver or ("host" if args.host_loop else "scan")
     if args.who == "ours":
-        out = measure_ours(args.mesh.resolve(), host_loop=args.host_loop,
-                           precon=args.precon)
+        out = measure_ours(args.mesh.resolve(), driver=driver,
+                           precon=args.precon,
+                           chunk_iters=args.chunk_iters)
     else:
         out = measure_reference(args.mesh.resolve())
     tag = f"{args.who}_{out.get('n_elems', 'ref')}"
     if args.who == "ours":
         tag += f"_{args.precon}"
+        if driver != "scan":
+            tag += f"_{driver}" if driver != "host" else ""
     (HERE / f"scale_{tag}.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 

@@ -149,7 +149,8 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
                                  t_schedule: Sequence[float],
                                  nonlinear_solver_settings: dict | None = None,
                                  linear_solver_settings: dict | None = None,
-                                 U_init=None, xi_init_by_block=None):
+                                 U_init=None, xi_init_by_block=None,
+                                 max_iters_per_dispatch: int | None = None):
     """Stepped drive: ONE fused device program per time step.
 
     The middle ground between the scanned trajectory (the whole history
@@ -168,6 +169,16 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
     the TRUE converged residual of every step, fused into the same
     dispatch (one extra residual-only assembly), so a cap-truncated
     Newton cannot ship a silently wrong history.
+
+    ``max_iters_per_dispatch`` (K) bounds device-program duration
+    FURTHER, for meshes where even one step's whole Newton outruns the
+    link's execution ceiling (measured at 47.6k tets): each dispatch
+    runs at most K fused Newton iterations
+    (``nonlinear_solver._fe_newton_chunk``), resuming from the previous
+    chunk's iterate with the step history anchored at
+    ``(U_prev, xi_prev)``; the host re-dispatches until the step
+    converges — ceil(iters/K) dispatches per step instead of the host
+    loop's one per iteration.
 
     Returns ``(FEState, solver_log)`` with per-step
     ``{"final_residual", "initial_residual"}`` entries (parity with
@@ -217,15 +228,49 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
         norm0 = residual_norm(params_by_block, U_prev, U_prev, xi_prev, t)
         return U, xi, norm, norm0
 
+    if max_iters_per_dispatch is not None:
+        from cmad_tpu.fem.nonlinear_solver import _fe_newton_chunk
+        K = int(max_iters_per_dispatch)
+        if K < 1:
+            raise ValueError(
+                f"max_iters_per_dispatch must be >= 1; got {K}")
+
+        @jit
+        def chunk(params_by_block, U_prev, xi_prev, t, U_start, R0_in):
+            return _fe_newton_chunk(
+                fe_problem, fe_arrays, params_by_block, U_prev, xi_prev,
+                t, nls, lss, U_start, R0_in, K)
+
     dtype = config.real_dtype()
+    abs_tol, rel_tol = float(nls["abs tol"]), float(nls["rel tol"])
+    max_total = int(nls["max iters"])
+
+    def solve_step(U_prev, xi_prev, t):
+        """One time step -> (U, xi, final ||r||, initial ||r||); one
+        dispatch, or ceil(iters/K) chunked dispatches."""
+        if max_iters_per_dispatch is None:
+            U, xi, norm_j, norm0_j = step(params, U_prev, xi_prev, t)
+            return U, xi, float(norm_j), float(norm0_j)
+        U_start = U_prev
+        R0_in = jnp.asarray(-1.0, dtype)
+        xi_solved = xi_prev
+        norm = float("inf")
+        for _ in range((max_total + K - 1) // K):
+            U_start, xi_solved, norm_j, R0_j = chunk(
+                params, U_prev, xi_prev, t, U_start, R0_in)
+            R0_in = R0_j
+            norm = float(norm_j)  # host sync per chunk
+            if norm < abs_tol or norm < rel_tol * float(R0_j):
+                break
+        return (U_start, {**xi_prev, **xi_solved}, norm, float(R0_in))
+
     U = jnp.asarray(state.U_at(0), dtype=dtype)
     xi = {b: jnp.asarray(state.xi_at(0, b))
           for b in fe_problem.models_by_block}
     log: list[dict[str, float]] = []
     for i, t in enumerate([float(x) for x in t_schedule[1:]], start=1):
-        U, xi, norm_j, norm0_j = step(params, U, xi,
-                                      jnp.asarray(t, dtype=dtype))
-        norm, norm0 = float(norm_j), float(norm0_j)  # host sync per step
+        U, xi, norm, norm0 = solve_step(U, xi,
+                                        jnp.asarray(t, dtype=dtype))
         state.append(np.asarray(U), {b: np.asarray(v)
                                      for b, v in xi.items()}, t_new=t)
         log.append({"final_residual": norm, "initial_residual": norm0})

@@ -310,6 +310,92 @@ def _fe_newton_primal(fe_problem, fe_arrays, params_by_block, U_prev,
     return U_star, xi_star
 
 
+def _fe_newton_chunk(fe_problem, fe_arrays, params_by_block, U_prev,
+                     xi_prev_by_block, t, nls, lss, U_start, R0_in,
+                     max_chunk_iters: int):
+    """AT MOST ``max_chunk_iters`` Newton iterations in ONE device
+    program, resumable: iterate from ``U_start`` (mid-solve state)
+    while the step history stays anchored at ``(U_prev, xi_prev)``.
+    ``R0_in <= 0`` means "first chunk of the step" — the step-initial
+    residual scale is computed here and returned for later chunks.
+
+    Exists for duration-limited device links
+    (``benchmarks/tunnel_repro/``: the remote worker kills any single
+    execution past ~50 s): the stepped driver re-dispatches chunks
+    until converged, paying ceil(iters/K) dispatches per step instead
+    of the host loop's one per iteration, with every program bounded.
+    The math per iteration (embedded assembly, adaptive-rtol solve,
+    line search) is identical to :func:`_fe_newton_primal`; xi needs no
+    threading between chunks because each assembly recomputes it from
+    ``(U, U_prev, xi_prev)``.
+
+    Returns ``(U, xi, ||r||, R0)``.
+    """
+    abs_tol, rel_tol = nls["abs tol"], nls["rel tol"]
+    ls = {**DEFAULT_LINE_SEARCH_SETTINGS, **nls.get("line search", {})}
+    ls_max_evals = ls["max evals"]
+
+    presc_idx = fe_arrays.prescribed_indices
+    presc_vals = jnp.asarray(fe_problem.dof_map.evaluate_prescribed_values(
+        fe_arrays.dbc_arrays, t))
+    sparsity = fe_arrays.embedded_sparsity
+
+    def assemble_enforced(U):
+        K_bcoo, R, xi = assemble_global(
+            fe_problem, fe_arrays, params_by_block, U, U_prev, t,
+            xi_prev_by_block=xi_prev_by_block)
+        K_data, K_ii = _embedded_bc_enforce(K_bcoo, presc_idx)
+        r = _embedded_residual(R, K_bcoo, U, presc_idx, presc_vals, K_ii)
+        return r, K_data, xi
+
+    r0, K0, xi0 = assemble_enforced(U_start)
+    R0 = jnp.where(R0_in > 0, R0_in,
+                   jnp.maximum(jnp.linalg.norm(r0), abs_tol))
+
+    def cond(state):
+        i, r, _K, _U, _xi, _np = state
+        norm = jnp.linalg.norm(r)
+        return ((i < max_chunk_iters) & (norm >= abs_tol)
+                & (norm >= rel_tol * R0))
+
+    adaptive = bool(lss.get("adaptive rtol", False)) \
+        and lss["type"] in ("cg", "gmres")
+
+    def body(state):
+        i, r, K_data, U, xi, norm_prev = state
+        norm = jnp.linalg.norm(r)
+        rtol_k = None
+        if adaptive:
+            rtol_k = jnp.clip(0.9 * (norm / norm_prev) ** 2,
+                              lss["rtol"], 1e-2)
+        dU = solve_linear(K_data, fe_problem, fe_arrays, -r, lss,
+                          rtol_override=rtol_k)
+        if ls_max_evals > 0:
+            r_sq = r @ r
+
+            def probe(alpha):
+                r_t, K_t, xi_t = assemble_enforced(U + alpha * dU)
+                _, matvec = _bcsr_operator(K_t, sparsity)
+                return (0.5 * (r_t @ r_t), r_t @ matvec(dU),
+                        (r_t, K_t, xi_t))
+
+            alpha, (r_new, K_new, xi_new) = line_search(
+                probe, 0.5 * r_sq, -r_sq, ls, (r, K_data, xi))
+            U_new = U + alpha * dU
+        else:
+            U_new = U + dU
+            r_new, K_new, xi_new = assemble_enforced(U_new)
+        return (i + 1, r_new, K_new, U_new, xi_new, norm)
+
+    # norm_prev seeds the Eisenstat-Walker term; across chunk
+    # boundaries the restart loses one step of contraction history,
+    # which only loosens the FIRST inner rtol of the chunk (safe)
+    _, r_star, _, U_star, xi_star, _ = lax.while_loop(
+        cond, body, (0, r0, K0, U_start, xi0,
+                     10.0 * jnp.linalg.norm(r0)))
+    return U_star, xi_star, jnp.linalg.norm(r_star), R0
+
+
 def fe_newton_solve(fe_problem: FEProblem,
                     params_by_block: Mapping[str, Params],
                     U_prev, xi_prev_by_block=None, t: float = 0.0,

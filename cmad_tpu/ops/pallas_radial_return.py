@@ -241,6 +241,225 @@ def _call_soa_hist(xi_soa: JaxArray, de_hist: JaxArray, scalars: JaxArray,
 # drops the traffic to 40 B/update (the xi term is 1/t_steps)
 HIST_CHUNK = 8
 
+# ---------------------------------------------------------------------------
+# WIDE (full-sublane) layout — measured results (r3)
+#
+# Hypothesis from the roofline experiment: every row op above is a
+# (1, tile) value using 1 of the VPU's 8 sublanes, so viewing the
+# component-major (8, N) state as (64, N/8) — component c on the EIGHT
+# sublane rows [8c, 8c+8), every op a full (8, W) VPU op — should lift
+# the issue-rate ceiling. Point j of component c lives at
+# (8c + j // (N/8), j % (N/8)) on both sides: the same fixed
+# point-permutation for state and strain, so the pointwise radial
+# return is bit-identical (tests/ops/test_soa_radial_return.py).
+#
+# MEASURED (whole-history kernel, 4.19M pts, T=32, TPU v5e):
+#   - wide kernel with inputs ALREADY wide: 12.62 G updates/s vs
+#     narrow 10.44 — 1.21x, i.e. the narrow kernel was only mildly
+#     issue-limited (Mosaic evidently packs multiple (1, tile) rows
+#     per vreg better than the 8x-waste model assumed).
+#   - converting at the call boundary: ~4x SLOWDOWN. (8, N)->(64, N/8)
+#     is row-major-contiguous but TPU arrays are TILED, so XLA emits a
+#     physical relayout copy (~150 GB/s) that swamps the kernel.
+#
+# Hence: the default drive stays narrow; `layout='wide'` on
+# make_j2_history_drive accepts wide-laid-out histories for callers
+# that can produce them at generation time (and gets the 1.21x).
+# ---------------------------------------------------------------------------
+
+_SUB = 8            # sublane rows per component in the wide layout
+_TILE_WIDE = 1024   # lane columns per grid step: 64 x 1024 f32 = 256 KiB
+                    # per buffer — same points/tile (8192) as _TILE_SOA
+
+
+def _wide_rows(ref, n_comp: int):
+    """Slice ``n_comp`` (8, W) component blocks off a (64, W) ref.
+    Row offsets are multiples of 8, so every slice is sublane-aligned —
+    no relayout."""
+    return tuple(ref[_SUB * c:_SUB * (c + 1), :] for c in range(n_comp))
+
+
+def _kernel_soa_hist_full_wide(scalars_ref, xi_ref, de_ref, out_ref, *,
+                               t_steps: int):
+    """Whole-history kernel in the wide layout; structure identical to
+    :func:`_kernel_soa_hist_full` (chunk axis innermost, out ref doubles
+    as the VMEM-resident state carrier), but each component is an
+    (8, W) block so the VPU runs at full sublane occupancy."""
+    c = pl.program_id(1)
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    @pl.when(c == 0)
+    def _seed():
+        out_ref[...] = xi_ref[...]
+
+    xi_rows = _wide_rows(out_ref, 7)
+    for t in range(t_steps):  # static unroll (one chunk)
+        de_rows = tuple(de_ref[t, _SUB * r:_SUB * (r + 1), :]
+                        for r in range(6))
+        xi_rows = _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D)
+    for r in range(7):
+        out_ref[_SUB * r:_SUB * (r + 1), :] = xi_rows[r]
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "interpret"))
+def _call_soa_hist_full_wide(xi_wide: JaxArray, de_hist_wide: JaxArray,
+                             scalars: JaxArray, t_steps: int,
+                             interpret: bool = False) -> JaxArray:
+    T, _, W = de_hist_wide.shape
+    n_chunks = T // t_steps
+    grid = (W // _TILE_WIDE, n_chunks)
+    return pl.pallas_call(
+        functools.partial(_kernel_soa_hist_full_wide, t_steps=t_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((64, _TILE_WIDE), lambda i, c, s: (0, i)),
+                pl.BlockSpec((t_steps, 64, _TILE_WIDE),
+                             lambda i, c, s: (c, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((64, _TILE_WIDE),
+                                   lambda i, c, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((64, W), xi_wide.dtype),
+        interpret=interpret,
+    )(scalars, xi_wide, de_hist_wide)
+
+
+def _kernel_soa_hist_wide(scalars_ref, xi_ref, de_hist_ref, out_ref, *,
+                          t_steps: int):
+    """Fused multi-step chunk in the wide layout (state resident across
+    the chunk); wide twin of :func:`_kernel_soa_hist`."""
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    xi_rows = _wide_rows(xi_ref, 7)
+    for t in range(t_steps):  # static unroll (one chunk, <= 8)
+        de_rows = tuple(de_hist_ref[t, _SUB * r:_SUB * (r + 1), :]
+                        for r in range(6))
+        xi_rows = _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D)
+    for r in range(7):
+        out_ref[_SUB * r:_SUB * (r + 1), :] = xi_rows[r]
+    out_ref[_SUB * 7:, :] = jnp.zeros_like(xi_rows[0])
+
+
+@functools.partial(jax.jit, static_argnames=("t_steps", "interpret"))
+def _call_soa_hist_wide(xi_wide: JaxArray, de_hist_wide: JaxArray,
+                        scalars: JaxArray, t_steps: int,
+                        interpret: bool = False) -> JaxArray:
+    W = xi_wide.shape[1]
+    grid = (W // _TILE_WIDE,)
+    return pl.pallas_call(
+        functools.partial(_kernel_soa_hist_wide, t_steps=t_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((64, _TILE_WIDE), lambda i, s: (0, i)),
+                pl.BlockSpec((t_steps, 64, _TILE_WIDE),
+                             lambda i, s: (0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((64, _TILE_WIDE), lambda i, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((64, W), xi_wide.dtype),
+        interpret=interpret,
+    )(scalars, xi_wide, de_hist_wide)
+
+
+def _kernel_soa_wide(scalars_ref, xi_ref, de_ref, out_ref):
+    """Single-step radial return in the wide layout; wide twin of
+    :func:`_kernel_soa` (the FE COUPLED fast-path kernel)."""
+    mu = scalars_ref[0]
+    lam = scalars_ref[1]
+    Y = scalars_ref[2]
+    S = scalars_ref[3]
+    D = scalars_ref[4]
+
+    xi_rows = _wide_rows(xi_ref, 7)
+    de_rows = _wide_rows(de_ref, 6)
+    out = _radial_rows(xi_rows, de_rows, mu, lam, Y, S, D)
+    for r in range(7):
+        out_ref[_SUB * r:_SUB * (r + 1), :] = out[r]
+    out_ref[_SUB * 7:, :] = jnp.zeros_like(out[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_soa_wide(xi_wide: JaxArray, de_wide: JaxArray,
+                   scalars: JaxArray, interpret: bool = False) -> JaxArray:
+    W = xi_wide.shape[1]
+    grid = (W // _TILE_WIDE,)
+    return pl.pallas_call(
+        _kernel_soa_wide,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec((64, _TILE_WIDE), lambda i, s: (0, i)),
+                      pl.BlockSpec((64, _TILE_WIDE), lambda i, s: (0, i))],
+            out_specs=pl.BlockSpec((64, _TILE_WIDE), lambda i, s: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((64, W), xi_wide.dtype),
+        interpret=interpret,
+    )(scalars, xi_wide, de_wide)
+
+
+def _to_wide(a: JaxArray) -> JaxArray:
+    """(…, 8, N) component-major -> (…, 64, N/8) wide: row-major
+    contiguous, but on TPU a PHYSICAL tiled-layout relayout (~4x the
+    kernel, measured) — for tests and one-time host-side conversion,
+    never inside a hot loop."""
+    *lead, r, n = a.shape
+    return a.reshape(*lead, r * _SUB, n // _SUB)
+
+
+def _from_wide(a: JaxArray) -> JaxArray:
+    *lead, r, w = a.shape
+    return a.reshape(*lead, r // _SUB, w * _SUB)
+
+
+def soa_history_full_pallas_wide(xi_wide: JaxArray, de_hist_wide: JaxArray,
+                                 scalars: JaxArray,
+                                 interpret: bool = False) -> JaxArray:
+    """Whole-history drive, WIDE layout: ``xi (64, W), de_hist
+    (T, 64, W) -> xi' (64, W)`` with W = N/8 and component c on rows
+    [8c, 8c+8). W must be _TILE_WIDE-aligned, T a HIST_CHUNK multiple.
+    1.21x the narrow kernel when the data is generated wide (52% of
+    HBM roofline measured); see the layout note above."""
+    if xi_wide.shape[0] != _SUB * 8:
+        raise ValueError(
+            f"wide layout state must have 64 rows; got {xi_wide.shape[0]}")
+    if xi_wide.shape[1] % _TILE_WIDE:
+        raise ValueError(
+            f"wide whole-history kernel requires W aligned to "
+            f"{_TILE_WIDE}; got {xi_wide.shape[1]}")
+    if de_hist_wide.shape[0] % HIST_CHUNK:
+        raise ValueError(
+            f"whole-history kernel requires T a multiple of "
+            f"{HIST_CHUNK}; got {de_hist_wide.shape[0]}")
+    return _call_soa_hist_full_wide(xi_wide, de_hist_wide, scalars,
+                                    t_steps=HIST_CHUNK,
+                                    interpret=interpret)
+
+
+def soa_history_chunk_pallas_wide(xi_wide: JaxArray, de_chunk_wide: JaxArray,
+                                  scalars: JaxArray,
+                                  interpret: bool = False) -> JaxArray:
+    """``t_steps`` fused radial returns in the wide layout; wide twin
+    of :func:`soa_history_chunk_pallas`."""
+    if xi_wide.shape[1] % _TILE_WIDE:
+        raise ValueError(
+            f"wide fused chunk requires W aligned to {_TILE_WIDE}; "
+            f"got {xi_wide.shape[1]}")
+    return _call_soa_hist_wide(xi_wide, de_chunk_wide, scalars,
+                               t_steps=de_chunk_wide.shape[0],
+                               interpret=interpret)
+
 
 def _kernel_soa_hist_full(scalars_ref, xi_ref, de_ref, out_ref, *,
                           t_steps: int):
@@ -302,7 +521,12 @@ def soa_history_full_pallas(xi_soa: JaxArray, de_hist: JaxArray,
     """Whole-history drive in ONE pallas_call:
     ``xi (8, N), de_hist (T, 8, N) -> xi' (8, N)``. N must be
     tile-aligned and T a multiple of HIST_CHUNK (the public drive pads
-    N once and routes any T remainder through the chunk kernel)."""
+    N once and routes any T remainder through the chunk kernel).
+    Stays in the NARROW layout: the wide (full-sublane) kernel is 1.21x
+    faster per se, but converting (8, N) -> (64, N/8) at this boundary
+    is a physical tiled-layout relayout on TPU (NOT a free row-major
+    bitcast) costing ~4x the kernel itself (measured r3) — callers who
+    can produce wide-layout data use the ``layout='wide'`` drive."""
     if xi_soa.shape[1] % _TILE_SOA:
         raise ValueError(
             f"whole-history kernel requires tile-aligned N "
@@ -320,7 +544,8 @@ def soa_history_chunk_pallas(xi_soa: JaxArray, de_chunk: JaxArray,
                              interpret: bool = False) -> JaxArray:
     """``t_steps`` fused radial returns: ``xi (8, N), de_chunk
     (t_steps, 8, N) -> xi' (8, N)``. N must be tile-aligned (the
-    history drive pads once up front)."""
+    history drive pads once up front). Narrow layout; see
+    :func:`soa_history_full_pallas` for why."""
     if xi_soa.shape[1] % _TILE_SOA:
         raise ValueError(
             f"fused history chunk requires tile-aligned N "

@@ -106,3 +106,26 @@ def test_stepped_rejects_short_schedule():
     fe = _problem()
     with pytest.raises(ValueError, match="t_schedule"):
         fe_quasistatic_drive_stepped(fe, [0.0])
+
+
+def test_chunked_dispatch_matches_unchunked():
+    """K-capped chunked re-dispatch (max_iters_per_dispatch) converges
+    to the same trajectory as the one-dispatch-per-step form — the
+    chunk resume (iterate from U_start, history at (U_prev, xi_prev))
+    preserves Newton's fixed point at any K."""
+    fe = _problem()
+    t_schedule = [0.0, 0.5, 1.0]
+    state_ref, log_ref = fe_quasistatic_drive_stepped(fe, t_schedule)
+    for K in (1, 3):
+        state_k, log_k = fe_quasistatic_drive_stepped(
+            fe, t_schedule, max_iters_per_dispatch=K)
+        for step in range(len(t_schedule)):
+            assert np.allclose(state_k.U_at(step), state_ref.U_at(step),
+                               atol=1e-10)
+            assert np.allclose(state_k.xi_at(step, "all"),
+                               state_ref.xi_at(step, "all"), atol=1e-7)
+        for e_k, e_ref in zip(log_k, log_ref):
+            assert e_k["final_residual"] <= 1e-8 * max(
+                1.0, e_k["initial_residual"])
+            assert np.isclose(e_k["initial_residual"],
+                              e_ref["initial_residual"], rtol=1e-6)

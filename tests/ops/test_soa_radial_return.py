@@ -199,3 +199,106 @@ def test_whole_history_kernel_bit_exact_vs_chunked():
     full = soa_history_full_pallas(xi0, de, scalars, interpret=True)
     assert float((np.asarray(full)[6] > 0).any())  # actually plastic
     assert float(jnp.abs(ref - full).max()) == 0.0
+
+
+def test_wide_layout_bit_exact_vs_narrow_kernels():
+    """The WIDE (full-sublane) kernels — components as (8, W) blocks of
+    a (64, N/8) view instead of (1, N) rows — are BIT-exact vs the
+    narrow kernels: the (8, N) -> (64, N/8) reshape is a fixed
+    point-permutation applied identically to state and strain, and the
+    radial return is pointwise."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmad_tpu.ops.pallas_radial_return import (
+        HIST_CHUNK,
+        TILE_SOA,
+        _call_soa,
+        _call_soa_hist,
+        _call_soa_hist_full,
+        _call_soa_hist_full_wide,
+        _call_soa_hist_wide,
+        _call_soa_wide,
+        _from_wide,
+        _to_wide,
+    )
+
+    rng = np.random.RandomState(11)
+    N, T = TILE_SOA * 2, 2 * HIST_CHUNK
+    xi0 = np.zeros((8, N), np.float32)
+    xi0[:6] = rng.normal(0, 30, (6, N))
+    de = np.zeros((T, 8, N), np.float32)
+    de[:, :6] = rng.normal(0, 2e-3, (T, 6, N))
+    scalars = jnp.asarray([76923.1, 115384.6, 250.0, 200.0, 20.0],
+                          jnp.float32)
+    xi0, de = jnp.asarray(xi0), jnp.asarray(de)
+
+    # round trip of the free reshape
+    np.testing.assert_array_equal(np.asarray(_from_wide(_to_wide(xi0))),
+                                  np.asarray(xi0))
+
+    # single step
+    narrow = _call_soa(xi0, de[0], scalars, interpret=True)
+    wide = _from_wide(_call_soa_wide(_to_wide(xi0), _to_wide(de[0]),
+                                     scalars, interpret=True))
+    assert float(jnp.abs(narrow - wide).max()) == 0.0
+
+    # fused chunk
+    narrow = _call_soa_hist(xi0, de[:HIST_CHUNK], scalars,
+                            t_steps=HIST_CHUNK, interpret=True)
+    wide = _from_wide(_call_soa_hist_wide(
+        _to_wide(xi0), _to_wide(de[:HIST_CHUNK]), scalars,
+        t_steps=HIST_CHUNK, interpret=True))
+    assert float(jnp.abs(narrow - wide).max()) == 0.0
+
+    # whole history (multi-tile x multi-chunk grid)
+    narrow = _call_soa_hist_full(xi0, de, scalars, t_steps=HIST_CHUNK,
+                                 interpret=True)
+    wide = _from_wide(_call_soa_hist_full_wide(
+        _to_wide(xi0), _to_wide(de), scalars, t_steps=HIST_CHUNK,
+        interpret=True))
+    assert float((np.asarray(narrow)[6] > 0).any())  # actually plastic
+    assert float(jnp.abs(narrow - wide).max()) == 0.0
+
+
+def test_history_drive_wide_layout_matches_soa8():
+    """`make_j2_history_drive(layout='wide')` is bit-exact vs the
+    default soa8 drive under the wide view (component c on rows
+    [8c, 8c+8) of a (64, N/8) array), including non-chunk-aligned T
+    (full kernel + remainder chunk) and non-tile-aligned N (pad once
+    inside the drive)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmad_tpu.ops.pallas_radial_return import (
+        HIST_CHUNK,
+        TILE_SOA,
+        _from_wide,
+        _to_wide,
+    )
+    params = J2AnalyticalProblem().J2_parameters
+    rng = np.random.RandomState(3)
+    # non-tile-aligned N (pad path) and T with a chunk remainder
+    N, T = TILE_SOA + 24, HIST_CHUNK + 3
+    xi0 = np.zeros((8, N), np.float32)
+    xi0[:6] = rng.normal(0, 30, (6, N))
+    de = np.zeros((T, 8, N), np.float32)
+    de[:, :6] = rng.normal(0, 2e-3, (T, 6, N))
+    xi0, de = jnp.asarray(xi0), jnp.asarray(de)
+
+    drive = make_j2_history_drive(params, fused=True)
+    drive_wide = make_j2_history_drive(params, fused=True, layout="wide")
+
+    ref = drive(xi0, de, params.values)
+
+    # wide inputs must be built from TILE-aligned narrow arrays (the
+    # row blocks of the wide view partition N/8; a wide-side lane pad
+    # would interleave zeros between real points, so the drive only
+    # pads the LANE axis, which is safe for any already-wide data)
+    pad = (-N) % TILE_SOA
+    xi0_p = jnp.pad(xi0, ((0, 0), (0, pad)))
+    de_p = jnp.pad(de, ((0, 0), (0, 0), (0, pad)))
+    out_w = drive_wide(_to_wide(xi0_p), _to_wide(de_p), params.values)
+    out = _from_wide(out_w)[:, :N]
+    assert float((np.asarray(ref)[6] > 0).any())
+    assert float(jnp.abs(out - ref).max()) == 0.0
