@@ -31,7 +31,8 @@ REFERENCE = "/root/reference"
 
 def measure_ours(mesh_path: Path, driver: str = "scan",
                  precon: str = "jacobi",
-                 chunk_iters: int | None = None) -> dict:
+                 chunk_iters: int | None = None,
+                 nls_json: str | None = None) -> dict:
     sys.path.insert(0, str(REPO_ROOT))
     import jax
     import jax.numpy as jnp
@@ -69,6 +70,8 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
         kwargs = {}
         if "linear solver" in deck:
             kwargs["linear_solver_settings"] = dict(deck["linear solver"])
+        if nls_json:
+            kwargs["nonlinear_solver_settings"] = json.loads(nls_json)
         ts = [float(t) for t in bundle.t_schedule]
 
         if driver == "host":
@@ -224,12 +227,16 @@ def main() -> None:
                          "per dispatch (bounds device-program duration)")
     ap.add_argument("--precon", default="jacobi",
                     choices=["jacobi", "chebyshev", "two_level"])
+    ap.add_argument("--nls", default=None,
+                    help="JSON dict of nonlinear-solver setting overrides"
+                         " (e.g. '{\"line search\": {\"max evals\": 0}}')")
     args = ap.parse_args()
     driver = args.driver or ("host" if args.host_loop else "scan")
     if args.who == "ours":
         out = measure_ours(args.mesh.resolve(), driver=driver,
                            precon=args.precon,
-                           chunk_iters=args.chunk_iters)
+                           chunk_iters=args.chunk_iters,
+                           nls_json=args.nls)
     else:
         out = measure_reference(args.mesh.resolve())
     tag = f"{args.who}_{out.get('n_elems', 'ref')}"

@@ -104,6 +104,19 @@ def run_primal_fe(deck_path: Path) -> int:
             J = _accumulate_qoi_over_history(
                 bundle, state,
                 None if write_qoi is not None else qoi)
+        elif driver == "stepped":
+            from cmad_tpu.fem.driver import fe_quasistatic_drive_stepped
+
+            state, solver_log = fe_quasistatic_drive_stepped(
+                bundle.fe_problem, t_schedule,
+                nonlinear_solver_settings=_nls_settings(bundle),
+                linear_solver_settings=bundle.resolved["linear solver"],
+                U_init=U_init, xi_init_by_block=xi_init,
+                max_iters_per_dispatch=bundle.resolved["residuals"][
+                    "global residual"].get("max iters per dispatch"))
+            J = _accumulate_qoi_over_history(
+                bundle, state,
+                None if write_qoi is not None else qoi)
         else:
             state, J = fe_quasistatic_drive(
                 bundle.fe_problem, t_schedule,

@@ -43,6 +43,34 @@ def test_host_driver_matches_scan(deck, monkeypatch):
                                atol=1e-12)
 
 
+def test_stepped_driver_matches_scan(deck, monkeypatch):
+    """`driver: stepped` (with and without the per-dispatch iteration
+    cap) produces the scan driver's trajectory through the CLI."""
+    tmp_path, d = deck
+    monkeypatch.chdir(tmp_path)
+    u = {}
+    cases = {"scan": {}, "stepped": {}, "stepped_k": {
+        "driver_name": "stepped", "max iters per dispatch": 2}}
+    for tag, extra in cases.items():
+        gr = d["residuals"]["global residual"]
+        gr["driver"] = extra.get("driver_name",
+                                 "stepped" if "stepped" in tag else tag)
+        gr.pop("max iters per dispatch", None)
+        if "max iters per dispatch" in extra:
+            gr["max iters per dispatch"] = extra["max iters per dispatch"]
+        d["output"] = {"path": f"out_{tag}"}
+        Path(f"d_{tag}.yaml").write_text(yaml.safe_dump(d))
+        assert cmad_main(["primal", f"d_{tag}.yaml"]) == 0
+        res = read_results(
+            next(Path(f"out_{tag}").glob("*.exo")),
+            nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+        u[tag] = res.nodal["u"]
+    np.testing.assert_allclose(u["stepped"], u["scan"], rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(u["stepped_k"], u["scan"], rtol=1e-10,
+                               atol=1e-12)
+
+
 def test_unknown_driver_rejected(deck, monkeypatch):
     tmp_path, d = deck
     monkeypatch.chdir(tmp_path)
