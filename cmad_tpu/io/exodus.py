@@ -242,11 +242,34 @@ class ExodusWriter:
 
     def __init__(self, path: Path, mesh: Mesh,
                  nodal_var_names: list[str] | None = None,
-                 element_var_names: list[str] | None = None,
+                 element_var_names=None,
                  title: str = "cmad_tpu output") -> None:
         self._mesh = mesh
         self._nodal = list(nodal_var_names or [])
-        self._elem = list(element_var_names or [])
+        # element_var_names: flat list (every block stores every
+        # variable) or per-block dict {block name: [var names]} — the
+        # reference's per-block element schema with an elem_var_tab
+        # truth table (cmad/io/exodus.py:813-828)
+        if isinstance(element_var_names, dict):
+            unknown = sorted(set(element_var_names)
+                             - set(mesh.element_blocks))
+            if unknown:
+                raise ValueError(
+                    f"element schema names unknown blocks {unknown}; "
+                    f"mesh blocks: {sorted(mesh.element_blocks)}")
+            self._elem = []
+            for names in element_var_names.values():
+                for n in names:
+                    if n not in self._elem:
+                        self._elem.append(n)
+            self._elem_blocks_by_var = {
+                n: {b for b, names in element_var_names.items()
+                    if n in names}
+                for n in self._elem}
+        else:
+            self._elem = list(element_var_names or [])
+            self._elem_blocks_by_var = {
+                n: set(mesh.element_blocks) for n in self._elem}
         self._num_steps = 0
 
         nc = netcdf_file(str(path), "w", version=2, mmap=False)
@@ -350,12 +373,22 @@ class ExodusWriter:
                                       ("num_elem_var", "len_string"))
             for i, name in enumerate(self._elem):
                 names[i] = _pad_name(name)
+            truth = np.zeros((len(blocks), len(self._elem)),
+                             dtype=np.int32)
+            for i, name in enumerate(self._elem):
+                for b, (bname, _) in enumerate(blocks):
+                    if bname in self._elem_blocks_by_var[name]:
+                        truth[b, i] = 1
+            tab = nc.createVariable("elem_var_tab", "i",
+                                    ("num_el_blk", "num_elem_var"))
+            tab[:] = truth
             self._elem_vars = {}
             for i in range(len(self._elem)):
                 for b in range(len(blocks)):
-                    self._elem_vars[(i, b)] = nc.createVariable(
-                        f"vals_elem_var{i + 1}eb{b + 1}", "d",
-                        ("time_step", f"num_el_in_blk{b + 1}"))
+                    if truth[b, i]:
+                        self._elem_vars[(i, b)] = nc.createVariable(
+                            f"vals_elem_var{i + 1}eb{b + 1}", "d",
+                            ("time_step", f"num_el_in_blk{b + 1}"))
 
         self._block_names = [n for n, _ in blocks]
 
@@ -389,6 +422,12 @@ class ExodusWriter:
                     raise ValueError(
                         f"element variable {name!r}: unknown block "
                         f"{bname!r}; blocks: {self._block_names}")
+                if bname not in self._elem_blocks_by_var[name]:
+                    raise ValueError(
+                        f"element variable {name!r} is not declared on "
+                        f"block {bname!r} (truth-table bit is 0; "
+                        f"declared blocks: "
+                        f"{sorted(self._elem_blocks_by_var[name])})")
                 vals = np.asarray(vals, dtype=float)
                 n_b = len(self._mesh.element_blocks[bname])
                 if vals.shape != (n_b,):
@@ -414,7 +453,8 @@ class ExodusWriter:
 
 
 def read_results(path: Path, nodal_field_specs=None,
-                 element_field_specs=None):
+                 element_field_specs=None,
+                 field_name_aliases=None):
     """Read time steps + named nodal/element variables.
 
     Returns an :class:`cmad_tpu.io.results.ExodusResults`. Vector/tensor
@@ -422,8 +462,34 @@ def read_results(path: Path, nodal_field_specs=None,
     component suffix conventions in io/results.py. With no specs, every
     stored variable is returned raw under its per-component name (nodal
     arrays ``(steps, nodes)``; element fields as ``{block: array}``).
+
+    ``element_field_specs`` takes either a flat sequence of FieldSpecs
+    (read from every block that stores the variable — blocks whose
+    truth-table bit is 0 are skipped) or, for reference parity
+    (``cmad/io/exodus.py:433`` ``read_results``), a per-block dict
+    ``{block name: [FieldSpec, ...]}``; explicitly requesting a
+    variable on a block that does not store it raises
+    :class:`ExodusFormatError`, as does naming a block not in the file.
+
+    ``field_name_aliases`` maps requested spec name -> on-disk root
+    name (read-side only; returned keys are always the spec name). An
+    alias key that no spec declares raises — reference parity with
+    ``cmad/io/exodus.py:447-451``.
     """
     from cmad_tpu.io.results import ExodusResults, component_names
+
+    aliases = dict(field_name_aliases or {})
+    declared = {s.name for s in (nodal_field_specs or [])}
+    if isinstance(element_field_specs, dict):
+        for specs in element_field_specs.values():
+            declared |= {s.name for s in specs}
+    elif element_field_specs:
+        declared |= {s.name for s in element_field_specs}
+    unknown = sorted(set(aliases) - declared)
+    if unknown:
+        raise ExodusFormatError(
+            f"field name aliases {unknown} do not match any requested "
+            f"spec name (specs declare {sorted(declared)})")
 
     nc = _open_read(Path(path))
     try:
@@ -446,21 +512,55 @@ def read_results(path: Path, nodal_field_specs=None,
             for i, name in enumerate(names):
                 nodal[name] = nodal_series(i)
         if nodal_field_specs:
-            names = _decode_names(nc.variables["name_nod_var"][:])
+            names = (_decode_names(nc.variables["name_nod_var"][:])
+                     if "name_nod_var" in nc.variables else [])
             for spec in nodal_field_specs:
-                comps = component_names(spec.name, spec.var_type)
+                root = aliases.get(spec.name, spec.name)
+                comps = component_names(root, spec.var_type)
                 cols = []
                 for comp in comps:
+                    if comp not in names:
+                        raise ExodusFormatError(
+                            f"requested nodal component {comp!r} not "
+                            f"found in file (have {sorted(names)})")
                     cols.append(nodal_series(names.index(comp)))
                 nodal[spec.name] = np.stack(cols, axis=-1)
 
-        element = {}
-        if element_field_specs is None and "name_elem_var" in nc.variables:
-            names = _decode_names(nc.variables["name_elem_var"][:])
+        def elem_context():
+            names = (_decode_names(nc.variables["name_elem_var"][:])
+                     if "name_elem_var" in nc.variables else [])
             n_blocks = int(nc.dimensions.get("num_el_blk", 1))
             block_names = (_decode_names(nc.variables["eb_names"][:])
                            if "eb_names" in nc.variables
                            else [f"block_{b+1}" for b in range(n_blocks)])
+            return names, n_blocks, block_names
+
+        def elem_block_series(names, spec, b, block_name, required):
+            """(steps, n_elems_b, n_comps) for one spec on one block, or
+            None when the block does not store it and not required."""
+            root = aliases.get(spec.name, spec.name)
+            comps = component_names(root, spec.var_type)
+            cols = []
+            for comp in comps:
+                if comp not in names:
+                    raise ExodusFormatError(
+                        f"requested element component {comp!r} not "
+                        f"found in file (have {sorted(names)})")
+                key = f"vals_elem_var{names.index(comp) + 1}eb{b + 1}"
+                if key not in nc.variables:
+                    if required or cols:
+                        raise ExodusFormatError(
+                            f"element variable {comp!r} not stored on "
+                            f"block {block_name!r} (truth-table bit is "
+                            f"0 / no {key} variable)")
+                    return None
+                cols.append(np.asarray(
+                    nc.variables[key][:]).astype(float))
+            return np.stack(cols, axis=-1)
+
+        element = {}
+        if element_field_specs is None and "name_elem_var" in nc.variables:
+            names, n_blocks, block_names = elem_context()
             for i, name in enumerate(names):
                 by_block = {}
                 for b in range(n_blocks):
@@ -469,23 +569,27 @@ def read_results(path: Path, nodal_field_specs=None,
                         by_block[block_names[b]] = np.asarray(
                             nc.variables[key][:]).astype(float)
                 element[name] = by_block
-        if element_field_specs:
-            names = _decode_names(nc.variables["name_elem_var"][:])
-            n_blocks = int(nc.dimensions.get("num_el_blk", 1))
-            block_names = (_decode_names(nc.variables["eb_names"][:])
-                           if "eb_names" in nc.variables
-                           else [f"block_{b+1}" for b in range(n_blocks)])
+        elif isinstance(element_field_specs, dict):
+            names, n_blocks, block_names = elem_context()
+            for block_name, specs in element_field_specs.items():
+                if block_name not in block_names:
+                    raise ExodusFormatError(
+                        f"requested block {block_name!r} not in file "
+                        f"(blocks: {block_names})")
+                b = block_names.index(block_name)
+                for spec in specs:
+                    series = elem_block_series(
+                        names, spec, b, block_name, required=True)
+                    element.setdefault(spec.name, {})[block_name] = series
+        elif element_field_specs:
+            names, n_blocks, block_names = elem_context()
             for spec in element_field_specs:
-                comps = component_names(spec.name, spec.var_type)
                 by_block = {}
                 for b in range(n_blocks):
-                    cols = []
-                    for comp in comps:
-                        idx = names.index(comp)
-                        cols.append(np.asarray(
-                            nc.variables[f"vals_elem_var{idx + 1}"
-                                         f"eb{b + 1}"][:]).astype(float))
-                    by_block[block_names[b]] = np.stack(cols, axis=-1)
+                    series = elem_block_series(
+                        names, spec, b, block_names[b], required=False)
+                    if series is not None:
+                        by_block[block_names[b]] = series
                 element[spec.name] = by_block
         return ExodusResults(times=times, nodal=nodal, element=element)
     finally:
