@@ -126,17 +126,18 @@ def write_fe_exodus(out_dir: Path, prefix: str, fe_problem: FEProblem,
     """Write the trajectory to one Exodus file per the resolved plan."""
     nodal_names = [c for f in plan.nodal
                    for c in component_names(f.name, f.var_type)]
-    element_names_set: list[str] = []
-    for fields in plan.element_by_block.values():
-        for f in fields:
-            for c in component_names(f.name, f.var_type):
-                if c not in element_names_set:
-                    element_names_set.append(c)
+    # per-block schema: the truth table records exactly which blocks
+    # store each variable, so a block whose model lacks a field is not
+    # padded with fill values
+    element_schema = {
+        block: [c for f in fields
+                for c in component_names(f.name, f.var_type)]
+        for block, fields in plan.element_by_block.items()}
 
     writer = ExodusWriter(out_dir / f"{prefix}{filename}",
                           fe_problem.mesh,
                           nodal_var_names=nodal_names,
-                          element_var_names=element_names_set)
+                          element_var_names=element_schema)
     try:
         for step, t in enumerate(fe_state.t_history):
             nodal_values = {}

@@ -61,6 +61,71 @@ def test_ip_average_shape_mismatch_raises():
                               "all")
 
 
+def test_polynomial_ip_average_is_exact_volume_integral():
+    """x^2 on a one-element unit cube: 2x2x2 Gauss integrates cubics
+    exactly, so the IP average must equal int x^2 dV / V = 1/3
+    (reference parity: tests/io/test_results.py polynomial volume
+    average)."""
+    from cmad_tpu.fem.mesh import Mesh
+
+    mesh = StructuredHexMesh((1.0, 1.0, 1.0), (1, 1, 1))
+    dof_map = build_dof_map(mesh, [GlobalFieldLayout("u", Q1_HEX)], [],
+                            {"u": 3})
+    model = Elastic(Parameters({"elastic": {"E": 1.0, "nu": 0.3}}))
+    fe = build_fe_problem(mesh, dof_map,
+                          SmallDispEquilibrium(ndims=3), {"all": model})
+    N = np.asarray(fe.geometry_cache["all"]["shared"]["N"][0])
+    coords_elem = np.asarray(mesh.nodes)[np.asarray(mesh.connectivity)]
+    x_ip = np.einsum("pa,eak->epk", N, coords_elem)
+    avg = ip_average_to_element(x_ip[..., 0] ** 2, fe.geometry_cache,
+                                "all")
+    np.testing.assert_allclose(avg, [1.0 / 3.0], atol=1e-13)
+
+
+def test_constant_global_field_returns_constant_per_element():
+    fe = _fe()
+    U = np.zeros(fe.dof_map.num_total_dofs)
+    U[1::3] = 7.5
+    avg = np.asarray(volume_average_global_field(jnp.asarray(U), fe,
+                                                 "all", "u"))
+    np.testing.assert_allclose(avg[:, 1], 7.5, atol=1e-12)
+    np.testing.assert_allclose(avg[:, [0, 2]], 0.0, atol=1e-13)
+
+
+def test_block_dispatch_isolates_other_blocks():
+    """Per-block volume averages on a two-block mesh match the same
+    elements' averages computed on the single-block problem (reference
+    parity: block dispatch isolates other blocks)."""
+    from cmad_tpu.fem.mesh import Mesh
+
+    base = StructuredHexMesh((1.0, 1.0, 1.0), (2, 1, 1))
+    mesh = Mesh(
+        nodes=base.nodes, connectivity=base.connectivity,
+        element_family=base.element_family,
+        element_blocks={"left": np.array([0], dtype=np.intp),
+                        "right": np.array([1], dtype=np.intp)},
+        node_sets=base.node_sets, side_sets=base.side_sets)
+    dof_map = build_dof_map(mesh, [GlobalFieldLayout("u", Q1_HEX)], [],
+                            {"u": 3})
+    model = Elastic(Parameters({"elastic": {"E": 1.0, "nu": 0.3}}))
+    fe2 = build_fe_problem(mesh, dof_map,
+                           SmallDispEquilibrium(ndims=3),
+                           {"left": model, "right": model})
+    x = np.asarray(mesh.nodes)
+    U = np.zeros(dof_map.num_total_dofs)
+    U[0::3] = x[:, 0]
+
+    left = np.asarray(volume_average_global_field(
+        jnp.asarray(U), fe2, "left", "u"))
+    right = np.asarray(volume_average_global_field(
+        jnp.asarray(U), fe2, "right", "u"))
+    fe1 = _fe()
+    both = np.asarray(volume_average_global_field(
+        jnp.asarray(U), fe1, "all", "u"))
+    np.testing.assert_allclose(left, both[[0]], atol=1e-13)
+    np.testing.assert_allclose(right, both[[1]], atol=1e-13)
+
+
 def test_gmsh_reader_error_paths(tmp_path):
     with pytest.raises(FileNotFoundError, match="mesh file not found"):
         read_gmsh(tmp_path / "missing.msh")
