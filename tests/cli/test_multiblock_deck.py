@@ -77,3 +77,58 @@ def test_two_material_deck_roundtrip(tmp_path, monkeypatch):
         np.testing.assert_allclose(sig[:, 0], sigma_exact, rtol=1e-9,
                                    err_msg=block)
         np.testing.assert_allclose(sig[:, 1], 0.0, atol=1e-8)
+
+
+def test_per_block_output_selection_sparse_truth_table(tmp_path,
+                                                       monkeypatch):
+    """output.local residual selecting fields on one block only yields
+    a sparse elem_var_tab: the unselected block stores nothing (no fill
+    padding), flat-spec reads skip it, and explicitly requesting it
+    raises."""
+    from cmad_tpu.io.exodus import ExodusFormatError
+
+    (tmp_path / "meshes").mkdir()
+    ExodusWriter(tmp_path / "meshes" / "two.exo",
+                 _two_block_mesh()).close()
+
+    def mat(E):
+        return {"elastic": {"E": {"value": E}, "nu": {"value": 0.0}}}
+
+    deck = {
+        "problem": {"type": "fe", "name": "composite"},
+        "discretization": {"mesh file": "meshes/two.exo",
+                           "num steps": 1, "step size": 1.0},
+        "residuals": {
+            "global residual": {"type": "small_disp_equilibrium",
+                                "def_type": "full_3d"},
+            "local residual": {"type": "elastic", "mode": "closed_form",
+                               "materials": {"soft": mat(E_SOFT),
+                                             "stiff": mat(E_STIFF)}}},
+        "dirichlet bcs": {"expression": {
+            "pin_x": ["equilibrium", 0, "xmin_sides", "0.0"],
+            "pin_y": ["equilibrium", 1, "ymin_sides", "0.0"],
+            "pin_z": ["equilibrium", 2, "zmin_sides", "0.0"],
+            "ramp_x": ["equilibrium", 0, "xmax_sides", "0.01 * t"]}},
+        "linear solver": {"type": "direct"},
+        "output": {"path": "out",
+                   "local residual": {"soft": ["cauchy"], "stiff": []}},
+    }
+    (tmp_path / "deck.yaml").write_text(yaml.safe_dump(deck))
+    monkeypatch.chdir(tmp_path)
+    assert cmad_main(["primal", "deck.yaml"]) == 0
+    exo = next(Path("out").glob("*.exo"))
+
+    from scipy.io import netcdf_file
+    with netcdf_file(str(exo), "r", mmap=False) as nc:
+        tab = np.asarray(nc.variables["elem_var_tab"][:])
+    assert tab.shape[1] == 6  # six cauchy components
+    # block order follows mesh.element_blocks: soft then stiff
+    np.testing.assert_array_equal(tab[0], 1)
+    np.testing.assert_array_equal(tab[1], 0)
+
+    res = read_results(exo, element_field_specs=[
+        FieldSpec("cauchy", VarType.SYM_TENSOR)])
+    assert set(res.element["cauchy"]) == {"soft"}
+    with pytest.raises(ExodusFormatError, match="truth-table"):
+        read_results(exo, element_field_specs={
+            "stiff": [FieldSpec("cauchy", VarType.SYM_TENSOR)]})
