@@ -29,7 +29,7 @@ Semantics match the generic path (reference hot loop:
 global_residual.py:341``); equivalence is pinned by
 ``tests/fem/test_j2_block_fastpath.py``. Assembly dispatches here when
 ``SmallDispEquilibrium.for_model`` attaches the ``block_*`` evaluators
-(displacement-form, FULL_3D, J2+Voce rate model; gate:
+(displacement-form, FULL_3D, J2+Voce rate OR total model; gate:
 ``CMAD_FE_BLOCK_FASTPATH=0`` disables).
 """
 from __future__ import annotations
@@ -50,8 +50,9 @@ def fe_block_fastpath_enabled() -> bool:
 
 def j2_block_applicable(gr, model, mode, print_local_convergence) -> bool:
     """True when the displacement-form COUPLED block can run the SoA
-    fast path: single-residual 3D equilibrium, rate-form J2+Voce
-    (identity rotation), per-IP convergence printing off."""
+    fast path: single-residual 3D equilibrium, J2+Voce in either the
+    rate or the total form (identity rotation), per-IP convergence
+    printing off."""
     from cmad_tpu.global_residuals.modes import GlobalResidualMode
     from cmad_tpu.ops.return_map import j2_voce_kind
 
@@ -60,7 +61,7 @@ def j2_block_applicable(gr, model, mode, print_local_convergence) -> bool:
             and not print_local_convergence
             and gr.num_residuals == 1
             and getattr(gr, "ndims", None) == 3
-            and j2_voce_kind(model) == "rate"
+            and j2_voce_kind(model) in ("rate", "total")
             and model.num_dofs == 7)
 
 
@@ -83,8 +84,19 @@ def make_j2_block_kernels(model) -> dict:
     xi_prev)`` with ``U_elem`` (E, nd, 3) displacement coefficients,
     ``geom`` the block's geometry-cache entry, ``forcing_fn`` the body
     force callable or None, and ``xi_prev`` (E, Q, 7) AoS state.
+
+    The TOTAL form (``models/small_elastic_plastic.py``,
+    xi = [plastic_strain6, alpha]) maps EXACTLY onto the rate-form SoA
+    kernel: feeding virtual previous-stress rows ``-C : p_prev`` with
+    the CURRENT total strain as the "increment" reproduces the total
+    form's trial stress ``C : (eps - p_prev)``, and the corrector,
+    stress output, and consistent tangent are then identical algebra.
+    The plastic strain carry is recovered explicitly afterwards as
+    ``p_new = eps - C^{-1} : sigma_new``.
     """
-    del model  # layout fixed by the J2+Voce rate-form guard
+    from cmad_tpu.ops.return_map import j2_voce_kind
+
+    kind = j2_voce_kind(model)
     step = make_soa_step_ad()
 
     def _solve(params, U_e, Up_e, geom, xi_prev):
@@ -94,22 +106,37 @@ def make_j2_block_kernels(model) -> dict:
         E, Q = wdv.shape
         n = E * Q
 
-        dU = U_e - Up_e
-        # component-major strain increments: (3, 3, E, Q), the batch on
-        # the trailing (lane) axes
+        # component-major strain rows: (3, 3, E, Q), the batch on the
+        # trailing (lane) axes. Rate form: the strain INCREMENT from
+        # dU; total form: the TOTAL strain from the current U.
+        dU = (U_e - Up_e) if kind == "rate" else U_e
         G = jnp.einsum("eai,eqaj->ijeq", dU, gradN)
         rows = [G[0, 0], 0.5 * (G[0, 1] + G[1, 0]),
                 0.5 * (G[0, 2] + G[2, 0]), G[1, 1],
                 0.5 * (G[1, 2] + G[2, 1]), G[2, 2]]
         z = jnp.zeros_like(rows[0])
         de_soa = jnp.stack(rows + [z, z]).reshape(8, n)
-
-        xi_soa = jnp.concatenate(
-            [xi_prev.reshape(n, 7).T,
-             jnp.zeros((1, n), dtype=xi_prev.dtype)])
         scalars = j2_voce_scalars(params, de_soa.dtype)
+
+        if kind == "rate":
+            # stress IS the state: rows go in as-is
+            xi_soa = jnp.concatenate(
+                [xi_prev.reshape(n, 7).T,
+                 jnp.zeros((1, n), dtype=xi_prev.dtype)])
+        else:
+            # virtual previous stress -C : p_prev, so the kernel's
+            # trial  xi + C : de  equals  C : (eps - p_prev)
+            mu, lam = scalars[0], scalars[1]
+            p = xi_prev.reshape(n, 7).T
+            ltrp = lam * (p[0] + p[3] + p[5])
+            two_mu = 2.0 * mu
+            xi_soa = jnp.stack([
+                -(ltrp + two_mu * p[0]), -two_mu * p[1],
+                -two_mu * p[2], -(ltrp + two_mu * p[3]),
+                -two_mu * p[4], -(ltrp + two_mu * p[5]),
+                p[6], jnp.zeros_like(p[0])])
         out = step(xi_soa, de_soa, scalars).reshape(8, E, Q)
-        return out, scalars, gradN, wdv
+        return out, scalars, gradN, wdv, de_soa.reshape(8, E, Q)
 
     def _residual(out, gradN, wdv, forcing_fn, geom, t):
         sigma = _sigma_cm(tuple(out[r] for r in range(6)))  # (3,3,E,Q)
@@ -122,13 +149,30 @@ def make_j2_block_kernels(model) -> dict:
             R = R - jnp.einsum("qa,eqi,eq->eai", N0, fvals, wdv)
         return R
 
-    def _xi_aos(out):
-        return jnp.moveaxis(out[:7], 0, -1)                 # (E, Q, 7)
+    def _xi_aos(out, eps_rows, scalars):
+        if kind == "rate":
+            return jnp.moveaxis(out[:7], 0, -1)             # (E, Q, 7)
+        # total form: p_new = eps - C^{-1} : sigma_new (elastic
+        # compliance on sym-vec rows), alpha_new from the kernel
+        mu, lam = scalars[0], scalars[1]
+        inv_two_mu = 1.0 / (2.0 * mu)
+        tr_sig = out[0] + out[3] + out[5]
+        lam_tr_e = lam * tr_sig / (3.0 * lam + 2.0 * mu)
+        p_rows = [
+            eps_rows[0] - (out[0] - lam_tr_e) * inv_two_mu,
+            eps_rows[1] - out[1] * inv_two_mu,
+            eps_rows[2] - out[2] * inv_two_mu,
+            eps_rows[3] - (out[3] - lam_tr_e) * inv_two_mu,
+            eps_rows[4] - out[4] * inv_two_mu,
+            eps_rows[5] - (out[5] - lam_tr_e) * inv_two_mu,
+            out[6],
+        ]
+        return jnp.moveaxis(jnp.stack(p_rows), 0, -1)       # (E, Q, 7)
 
     def block_r_and_k_and_xi(params, U_e, Up_e, geom, forcing_fn, t,
                              xi_prev):
-        out, scalars, gradN, wdv = _solve(params, U_e, Up_e, geom,
-                                          xi_prev)
+        out, scalars, gradN, wdv, eps_rows = _solve(params, U_e, Up_e,
+                                                    geom, xi_prev)
         R = _residual(out, gradN, wdv, forcing_fn, geom, t)
 
         A, c, d_rows = consistent_tangent_rows(out, xi_prev[..., 6],
@@ -147,11 +191,11 @@ def make_j2_block_kernels(model) -> dict:
                           jnp.einsum("eq,eqaj,eqbj->eab", C2, gradN,
                                      gradN), eye)
              - jnp.einsum("eq,eqai,eqbk->eaibk", C3, v, v))
-        return R, K, _xi_aos(out)
+        return R, K, _xi_aos(out, eps_rows, scalars)
 
     def block_r(params, U_e, Up_e, geom, forcing_fn, t, xi_prev):
-        out, _scalars, gradN, wdv = _solve(params, U_e, Up_e, geom,
-                                           xi_prev)
+        out, _scalars, gradN, wdv, _eps = _solve(params, U_e, Up_e,
+                                                 geom, xi_prev)
         return _residual(out, gradN, wdv, forcing_fn, geom, t)
 
     # not jitted here: ``forcing_fn`` is a Python callable argument, and

@@ -26,11 +26,12 @@ from cmad_tpu.fem.fe_problem import FEState, build_fe_problem
 from cmad_tpu.fem.mesh import StructuredHexMesh, hex_to_tet_split
 from cmad_tpu.fem.nonlinear_solver import fe_newton_solve
 from cmad_tpu.global_residuals.modes import GlobalResidualMode
+from cmad_tpu.models.small_elastic_plastic import SmallElasticPlastic
 from cmad_tpu.models.small_rate_elastic_plastic import SmallRateElasticPlastic
 from cmad_tpu.parameters.parameters import Parameters
 
 
-def _model(active=False):
+def _model(active=False, kind="rate"):
     values = {
         "rotation matrix": np.eye(3),
         "elastic": {"E": 200e3, "nu": 0.3},
@@ -38,17 +39,18 @@ def _model(active=False):
                     "flow stress": {"initial yield": {"Y": 200.0},
                                     "hardening": {"voce": {"S": 200.0,
                                                            "D": 20.0}}}}}
+    cls = SmallRateElasticPlastic if kind == "rate" else SmallElasticPlastic
     if active:
         flags = tree_map(lambda _: False, values)
         flags["elastic"]["E"] = True
         flags["plastic"]["flow stress"]["initial yield"]["Y"] = True
-        return SmallRateElasticPlastic(Parameters(
+        return cls(Parameters(
             values, flags, tree_map(lambda _: None, values)))
-    return SmallRateElasticPlastic(Parameters(values))
+    return cls(Parameters(values))
 
 
 def _problem(tet=False, forcing=None, fastpath=True, monkeypatch=None,
-             active=False):
+             active=False, kind="rate"):
     if not fastpath:
         monkeypatch.setenv("CMAD_FE_BLOCK_FASTPATH", "0")
     try:
@@ -67,7 +69,7 @@ def _problem(tet=False, forcing=None, fastpath=True, monkeypatch=None,
         )
         return build_fe_problem(
             mesh, dof_map, SmallDispEquilibrium(ndims=3),
-            {"all": _model(active)},
+            {"all": _model(active, kind)},
             modes_by_block={"all": GlobalResidualMode.COUPLED},
             forcing_fns_by_block_idx=forcing)
     finally:
@@ -101,12 +103,13 @@ def test_fastpath_attached_only_when_applicable(monkeypatch):
                                    GlobalResidualMode.COUPLED, True)
 
 
+@pytest.mark.parametrize("kind", ["rate", "total"])
 @pytest.mark.parametrize("tet", [False, True])
-def test_assembly_equivalence(monkeypatch, tet):
+def test_assembly_equivalence(monkeypatch, tet, kind):
     forcing = {0: lambda x, t: jnp.asarray([0.0, 0.0, -1.0e2 * t])}
-    fe_a = _problem(tet=tet, forcing=forcing)
+    fe_a = _problem(tet=tet, forcing=forcing, kind=kind)
     fe_b = _problem(tet=tet, forcing=forcing, fastpath=False,
-                    monkeypatch=monkeypatch)
+                    monkeypatch=monkeypatch, kind=kind)
     assert "block_R_and_K_and_xi" in fe_a.evaluators_by_block["all"]
     assert "block_R_and_K_and_xi" not in fe_b.evaluators_by_block["all"]
 
@@ -138,9 +141,11 @@ def test_assembly_equivalence(monkeypatch, tet):
                                rtol=1e-10, atol=1e-12)
 
 
-def test_param_jvp_and_vjp_equivalence(monkeypatch):
-    fe_a = _problem(active=True)
-    fe_b = _problem(active=True, fastpath=False, monkeypatch=monkeypatch)
+@pytest.mark.parametrize("kind", ["rate", "total"])
+def test_param_jvp_and_vjp_equivalence(monkeypatch, kind):
+    fe_a = _problem(active=True, kind=kind)
+    fe_b = _problem(active=True, fastpath=False, monkeypatch=monkeypatch,
+                    kind=kind)
     U = _plastic_U(fe_a)
     U_prev = jnp.zeros_like(U)
     st = FEState.from_problem(fe_a)
@@ -179,9 +184,10 @@ def test_param_jvp_and_vjp_equivalence(monkeypatch):
     np.testing.assert_allclose(float(jvp_a), float(jvp_b), rtol=1e-8)
 
 
-def test_newton_solve_equivalence(monkeypatch):
-    fe_a = _problem()
-    fe_b = _problem(fastpath=False, monkeypatch=monkeypatch)
+@pytest.mark.parametrize("kind", ["rate", "total"])
+def test_newton_solve_equivalence(monkeypatch, kind):
+    fe_a = _problem(kind=kind)
+    fe_b = _problem(fastpath=False, monkeypatch=monkeypatch, kind=kind)
     params = params_by_block_from_models(fe_a)
     st = FEState.from_problem(fe_a)
     xi_prev = {"all": jnp.asarray(st.xi_at(0, "all"))}
