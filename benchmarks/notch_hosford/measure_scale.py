@@ -32,7 +32,8 @@ REFERENCE = "/root/reference"
 def measure_ours(mesh_path: Path, driver: str = "scan",
                  precon: str = "jacobi",
                  chunk_iters: int | None = None,
-                 nls_json: str | None = None) -> dict:
+                 nls_json: str | None = None,
+                 yield_form: str = "hosford") -> dict:
     sys.path.insert(0, str(REPO_ROOT))
     import jax
     import jax.numpy as jnp
@@ -47,6 +48,12 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
         (REPO_ROOT / "examples/notch_hosford.yaml").read_text())
     deck["discretization"]["mesh file"] = "meshes/notch.exo"
     deck.pop("output", None)
+    if yield_form == "j2":
+        # same deck physics with the J2 yield (total-form J2+Voce):
+        # the workhorse case the FE block fast path specializes
+        mats = deck["residuals"]["local residual"]["materials"]
+        for mat in mats.values():
+            mat["plastic"]["effective stress"] = {"J2": {}}
     if backend == "tpu":
         pc = {"jacobi": {"type": "jacobi"},
               "chebyshev": {"type": "chebyshev", "degree": 3},
@@ -138,8 +145,10 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
         os.chdir(cwd)
 
     return {
-        "metric": "notch_hosford_scale_wall_s",
+        "metric": ("notch_hosford_scale_wall_s" if yield_form == "hosford"
+                   else "notch_J2_scale_wall_s"),
         "who": "cmad_tpu",
+        "yield_form": yield_form,
         "value": round(warm, 2),
         "cold_value": round(cold, 2),
         "unit": "s",
@@ -227,6 +236,11 @@ def main() -> None:
                          "per dispatch (bounds device-program duration)")
     ap.add_argument("--precon", default="jacobi",
                     choices=["jacobi", "chebyshev", "two_level"])
+    ap.add_argument("--yield-form", default="hosford",
+                    choices=["hosford", "j2"],
+                    help="swap the deck's effective stress (j2 = the "
+                         "total-form J2+Voce workhorse the block fast "
+                         "path specializes)")
     ap.add_argument("--nls", default=None,
                     help="JSON dict of nonlinear-solver setting overrides"
                          " (e.g. '{\"line search\": {\"max evals\": 0}}')")
@@ -236,11 +250,14 @@ def main() -> None:
         out = measure_ours(args.mesh.resolve(), driver=driver,
                            precon=args.precon,
                            chunk_iters=args.chunk_iters,
-                           nls_json=args.nls)
+                           nls_json=args.nls,
+                           yield_form=args.yield_form)
     else:
         out = measure_reference(args.mesh.resolve())
     tag = f"{args.who}_{out.get('n_elems', 'ref')}"
     if args.who == "ours":
+        if args.yield_form != "hosford":
+            tag += f"_{args.yield_form}"
         tag += f"_{args.precon}"
         if driver != "scan":
             tag += f"_{driver}" if driver != "host" else ""
