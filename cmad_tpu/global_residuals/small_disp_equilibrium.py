@@ -117,6 +117,20 @@ class SmallDispEquilibrium(GlobalResidual):
         )
         if j2_block_applicable(self, model, mode, print_local_convergence):
             evaluators = {**evaluators, **make_j2_block_kernels(model)}
+        else:
+            # point-batch B-matrix fast path (fem/coupled_block.py) for
+            # the COUPLED displacement-form blocks the J2 path skips
+            # (Hosford/principal/Hill reductions, generic 7-dof Newton)
+            from cmad_tpu.fem.coupled_block import (
+                make_pointbatch_block_kernels,
+                pointbatch_applicable,
+            )
+            if pointbatch_applicable(self, model, mode,
+                                     print_local_convergence):
+                evaluators = {
+                    **evaluators,
+                    **make_pointbatch_block_kernels(
+                        model, local_newton_settings)}
         return evaluators
 
     def near_null_space(self, mesh) -> np.ndarray:
