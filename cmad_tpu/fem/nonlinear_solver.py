@@ -102,6 +102,10 @@ def get_two_level_pattern(fe_problem: FEProblem,
         np.asarray(fe_problem.kernel_arrays.prescribed_indices),
         fe_problem.dof_map.num_total_dofs,
         target_nodes_per_aggregate=target_nodes_per_aggregate)
+    from cmad_tpu.fem.two_level import attach_coarse_scatter
+    sp = fe_problem.kernel_arrays.embedded_sparsity
+    pattern = attach_coarse_scatter(pattern, np.asarray(sp.indptr),
+                                    np.asarray(sp.col_indices))
     object.__setattr__(fe_problem, "_two_level_pattern",
                        (target_nodes_per_aggregate, pattern))
     return pattern

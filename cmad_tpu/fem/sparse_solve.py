@@ -55,6 +55,17 @@ class EmbeddedSparsity:
     entries) in lex (row, col) order; ``segment_ids`` dedups them;
     ``(indptr, col_indices)`` is the unique CSR pattern; ``diag_idx``
     maps each row to its diagonal slot in the unique data.
+
+    ``nb_col``/``nb_src`` (optional, interleaved single-field 3-dof
+    layouts only) carry the node-block ELL form of the same pattern:
+    ``nb_col`` (n_nodes, w) is the padded node-adjacency list (pads
+    point at the node itself), ``nb_src`` (n_nodes, w, 3, 3) maps each
+    3x3 block entry into the unique data (pads point one past the end,
+    where the matvec appends an exact zero). On TPU the row-wise
+    3-vector gather + batched 3x3 contraction runs ~6x faster than the
+    BCSR matmul, whose scalar gather/scatter lowering is latency-bound
+    (measured r3: 0.42 ms vs 2.79 ms per matvec on the 5040-dof notch)
+    — SpMV is the hot loop of every Krylov arm at scale.
     """
 
     perm: JaxArray
@@ -62,6 +73,8 @@ class EmbeddedSparsity:
     indptr: JaxArray
     col_indices: JaxArray
     diag_idx: JaxArray
+    nb_col: JaxArray | None = None
+    nb_src: JaxArray | None = None
 
     @property
     def num_unique(self) -> int:
@@ -73,11 +86,53 @@ class EmbeddedSparsity:
 
     def tree_flatten(self):
         return ((self.perm, self.segment_ids, self.indptr,
-                 self.col_indices, self.diag_idx), None)
+                 self.col_indices, self.diag_idx, self.nb_col,
+                 self.nb_src), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+# node-block ELL pattern memory ceiling (nb_src int32 bytes): past this
+# the padded map's footprint stops being negligible next to the matrix
+# data itself — fall back to the BCSR matmul
+_NODE_BLOCK_ELL_BYTES = 256 * 1024 * 1024
+
+
+def _node_block_ell(indptr: np.ndarray, cols: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray] | None:
+    """(nb_col, nb_src) node-block ELL arrays for an interleaved 3-dof
+    CSR pattern, or None when the padded map would exceed the ceiling.
+
+    Handles partially-present blocks (prescribed rows keep only their
+    diagonal in the embedded pattern): absent entries stay at the
+    sentinel ``nnz``, which the matvec reads as an exact zero.
+    """
+    n = indptr.shape[0] - 1
+    nnz = cols.shape[0]
+    nn = n // 3
+    counts = np.diff(indptr)
+    r_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    nrow = r_of // 3
+    ncol = cols.astype(np.int64) // 3
+    pairs = np.unique(nrow * nn + ncol)
+    pr = pairs // nn
+    pc = pairs % nn
+    ncounts = np.bincount(pr, minlength=nn)
+    w = int(ncounts.max()) if ncounts.size else 0
+    if nn * w * 9 * 4 > _NODE_BLOCK_ELL_BYTES or nnz + 1 > np.iinfo(
+            np.int32).max:
+        return None
+    start = np.concatenate([[0], np.cumsum(ncounts)[:-1]])
+    k = np.arange(pairs.size) - start[pr]
+    nb_col = np.tile(np.arange(nn, dtype=np.int32)[:, None], (1, w))
+    nb_col[pr, k] = pc.astype(np.int32)
+    nb_src = np.full((nn, w, 3, 3), nnz, dtype=np.int32)
+    ip = np.searchsorted(pairs, nrow * nn + ncol)
+    nb_src[pr[ip], k[ip], r_of % 3, cols % 3] = np.arange(
+        nnz, dtype=np.int32)
+    return nb_col, nb_src
 
 
 def build_embedded_sparsity(fe_problem: "FEProblem") -> EmbeddedSparsity:
@@ -120,10 +175,18 @@ def build_embedded_sparsity(fe_problem: "FEProblem") -> EmbeddedSparsity:
             "entry in the BC-enforced sparsity; assembly must emit a "
             "(row, row) entry per dof")
 
+    nb_col = nb_src = None
+    dm = fe_problem.dof_map
+    if (len(dm.field_layouts) == 1
+            and int(dm.num_dofs_per_basis_fn[0]) == 3):
+        nb = _node_block_ell(indptr, ucols)
+        if nb is not None:
+            nb_col, nb_src = jnp.asarray(nb[0]), jnp.asarray(nb[1])
+
     return EmbeddedSparsity(
         perm=jnp.asarray(perm), segment_ids=jnp.asarray(segment_ids),
         indptr=jnp.asarray(indptr), col_indices=jnp.asarray(ucols),
-        diag_idx=jnp.asarray(diag_idx))
+        diag_idx=jnp.asarray(diag_idx), nb_col=nb_col, nb_src=nb_src)
 
 
 @register_pytree_node_class
@@ -187,12 +250,36 @@ def build_block_sparsity(embedded: EmbeddedSparsity,
 # ----------------------------------------------------------------------
 def _bcsr_operator(K_data: JaxArray, sparsity: EmbeddedSparsity):
     """(unique_data, matvec): dedup the embedded-BC data buffer into the
-    cached CSR and wrap the BCSR matmul."""
+    cached CSR and wrap the sparse matmul.
+
+    When the sparsity carries the node-block ELL pattern (interleaved
+    3-dof layouts), the vector matvec runs as a row-wise 3-vector
+    gather + batched 3x3 contraction — ~6x the BCSR matmul on TPU,
+    where scalar gather/scatter lowering is latency-bound. The block
+    value gather is loop-invariant in ``unique``, so XLA hoists it out
+    of the Krylov ``while_loop``; the path is linear in ``unique`` and
+    transposes exactly (the operator is structurally symmetric), so AD
+    through ``custom_linear_solve`` is unchanged. Batched (2-D) inputs
+    keep the BCSR matmul.
+    """
     unique = jnp.zeros(sparsity.num_unique, dtype=K_data.dtype
                        ).at[sparsity.segment_ids].add(K_data[sparsity.perm])
     K = BCSR((unique, sparsity.col_indices, sparsity.indptr),
              shape=(sparsity.n, sparsity.n))
-    return unique, lambda x: K @ x
+    if sparsity.nb_src is None:
+        return unique, lambda x: K @ x
+
+    nn = sparsity.n // 3
+    u_pad = jnp.concatenate([unique, jnp.zeros(1, dtype=unique.dtype)])
+    blocks = u_pad[sparsity.nb_src]            # (nn, w, 3, 3)
+
+    def matvec(x):
+        if x.ndim != 1:
+            return K @ x
+        xg = x.reshape(nn, 3)[sparsity.nb_col]  # (nn, w, 3)
+        return jnp.einsum("nwij,nwj->ni", blocks, xg).reshape(-1)
+
+    return unique, matvec
 
 
 def _embedded_bc_enforce(K_bcoo: BCOO, presc_idx: JaxArray):

@@ -48,6 +48,10 @@ from cmad_tpu.typing import JaxArray
 # as the backstop for hand-built patterns.
 DENSE_COARSE_CEILING = 24000
 
+# materialize the coarse inverse (apply = one matmul instead of TPU
+# latency-bound triangular solves) up to this coarse dimension
+_EXPLICIT_INVERSE_CEILING = 4096
+
 _NULL_COL_REL = 1e-8   # relative diagonal floor below which a coarse
                        # column is deflated (dropped) instead of scaled
 
@@ -66,6 +70,16 @@ class TwoLevelPattern:
     P_vals: JaxArray       # (n_dofs, w)
     agg_of_dof: JaxArray   # (n_dofs,) int32
     num_aggregates: int
+    # optional sorted-contraction plan for coarse_matrix (attached by
+    # attach_coarse_scatter once the fine sparsity is known): fine nnz
+    # sorted by coarse (aggI, aggJ) pair so the P^T K P contraction is
+    # a SORTED segment-sum + a tiny n_pairs*w*w scatter instead of a
+    # random nnz*w*w scatter-add (3x on TPU, where random scatter is
+    # latency-bound; measured r3, h=0.03 notch: 63 -> 20 ms per build)
+    coarse_order: np.ndarray | None = None   # (nnz,) int32
+    coarse_seg: np.ndarray | None = None     # (nnz,) int32, sorted
+    coarse_pI: np.ndarray | None = None      # (n_pairs,) int32
+    coarse_pJ: np.ndarray | None = None      # (n_pairs,) int32
 
     @property
     def width(self) -> int:
@@ -76,11 +90,13 @@ class TwoLevelPattern:
         return self.width * self.num_aggregates
 
     def tree_flatten(self):
-        return (self.P_vals, self.agg_of_dof), self.num_aggregates
+        return (self.P_vals, self.agg_of_dof, self.coarse_order,
+                self.coarse_seg, self.coarse_pI,
+                self.coarse_pJ), self.num_aggregates
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        return cls(children[0], children[1], aux, *children[2:])
 
 
 def build_two_level_pattern(coords: np.ndarray,
@@ -262,10 +278,50 @@ def _apply_PT(pattern: TwoLevelPattern, r: JaxArray,
     return out.reshape(-1)
 
 
+def attach_coarse_scatter(pattern: TwoLevelPattern,
+                          indptr: np.ndarray,
+                          col_indices: np.ndarray) -> TwoLevelPattern:
+    """Return the pattern with the sorted P^T K P contraction plan for
+    the given fine CSR: fine nnz ordered by coarse (aggI, aggJ) pair,
+    the sorted segment ids, and the coarse pair list. Host/numpy only
+    (the plan embeds as constants in later traces, like the rest of
+    the pattern)."""
+    import dataclasses
+
+    indptr = np.asarray(indptr)
+    cols = np.asarray(col_indices)
+    nnz = cols.shape[0]
+    rows = np.repeat(np.arange(indptr.shape[0] - 1, dtype=np.int64),
+                     np.diff(indptr))
+    aggd = np.asarray(pattern.agg_of_dof).astype(np.int64)
+    n_aggs = pattern.num_aggregates
+    key = aggd[rows] * n_aggs + aggd[cols]
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    new = np.empty(nnz, dtype=bool)
+    new[0] = True
+    new[1:] = skey[1:] != skey[:-1]
+    seg = (np.cumsum(new) - 1).astype(np.int32)
+    pairs = skey[new]
+    return dataclasses.replace(
+        pattern,
+        coarse_order=order.astype(np.int32),
+        coarse_seg=seg,
+        coarse_pI=(pairs // n_aggs).astype(np.int32),
+        coarse_pJ=(pairs % n_aggs).astype(np.int32))
+
+
 def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
                   rows: JaxArray, cols: JaxArray,
                   P_vals: JaxArray | None = None) -> JaxArray:
-    """A_c = P^T K P from K's deduped COO triplet, dense (m, m)."""
+    """A_c = P^T K P from K's deduped COO triplet, dense (m, m).
+
+    With a sorted-contraction plan attached (attach_coarse_scatter),
+    the per-nonzero w*w outer products are reordered by coarse pair and
+    reduced with a SORTED segment-sum, then scattered once at
+    n_pairs*w*w size; without it, falls back to the random nnz*w*w
+    scatter-add (identical values — the sorted reduction adds in the
+    same pair-local order)."""
     m, w = pattern.coarse_dim, pattern.width
     if m > DENSE_COARSE_CEILING:
         raise ValueError(
@@ -275,13 +331,29 @@ def coarse_matrix(pattern: TwoLevelPattern, unique: JaxArray,
             "preconditioner spec to shrink the coarse space")
     if P_vals is None:
         P_vals = jnp.asarray(pattern.P_vals, dtype=unique.dtype)
-    agg = jnp.asarray(pattern.agg_of_dof)
     Pi = P_vals[rows]                            # (nnz, w)
     Pj = P_vals[cols]                            # (nnz, w)
     block = unique[:, None, None] * Pi[:, :, None] * Pj[:, None, :]
+    k = jnp.arange(w, dtype=jnp.int32)
+
+    if pattern.coarse_order is not None:
+        n_pairs = pattern.coarse_pI.shape[0]
+        S = jax.ops.segment_sum(
+            block[jnp.asarray(pattern.coarse_order)],
+            jnp.asarray(pattern.coarse_seg), num_segments=n_pairs,
+            indices_are_sorted=True)
+        rows_c = (w * jnp.asarray(pattern.coarse_pI))[:, None, None] \
+            + k[None, :, None]
+        cols_c = (w * jnp.asarray(pattern.coarse_pJ))[:, None, None] \
+            + k[None, None, :]
+        A_c = jnp.zeros((m, m), dtype=unique.dtype)
+        return A_c.at[jnp.broadcast_to(rows_c, S.shape).reshape(-1),
+                      jnp.broadcast_to(cols_c, S.shape).reshape(-1)
+                      ].add(S.reshape(-1))
+
+    agg = jnp.asarray(pattern.agg_of_dof)
     ai = agg[rows].astype(jnp.int32)
     aj = agg[cols].astype(jnp.int32)
-    k = jnp.arange(w, dtype=jnp.int32)
     rows_c = (w * ai)[:, None, None] + k[None, :, None]
     cols_c = (w * aj)[:, None, None] + k[None, None, :]
     # scatter with 2-D indices: the flattened rows_c * m + cols_c form
@@ -400,8 +472,28 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
     A_s = A_s + jnp.diag(jnp.where(keep, ridge, 1.0)
                          .astype(A_s.dtype))
 
+    # Explicit coarse inverse (size-gated): per-apply triangular solves
+    # are latency-bound on TPU; materializing A_s^-1 once (a batched
+    # triangular solve against I) turns every apply into one small
+    # matmul. As a fixed preconditioner the inverse's extra roundoff
+    # (~cond * eps vs the factored solve's) is immaterial; past the
+    # ceiling the m^2 build cost stops being free, keep the factored
+    # solves.
+    explicit_inv = A_s.shape[0] <= _EXPLICIT_INVERSE_CEILING
+
     if symmetric:
         chol = jax.scipy.linalg.cho_factor(A_s)
+        if explicit_inv:
+            A_inv = jax.scipy.linalg.cho_solve(
+                chol, jnp.eye(A_s.shape[0], dtype=A_s.dtype))
+            A_inv = 0.5 * (A_inv + A_inv.T)  # keep M exactly SPD
+
+            def apply(r):
+                rhs = s * _apply_PT(pattern, r, P_eff)
+                return r / diag + _apply_P(pattern, s * (A_inv @ rhs),
+                                           P_eff)
+
+            return apply
 
         def apply(r):
             rhs = s * _apply_PT(pattern, r, P_eff)
@@ -411,7 +503,7 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
         return apply
 
     lu = jax.scipy.linalg.lu_factor(A_s)
-    lu_T = jax.scipy.linalg.lu_factor(A_s.T)
+    lu_T = None if explicit_inv else jax.scipy.linalg.lu_factor(A_s.T)
 
     use_blocks = (smoother == "node_block"
                   or (smoother == "auto" and pattern.width == 7))
@@ -426,6 +518,22 @@ def make_two_level_preconditioner(pattern: TwoLevelPattern,
         # carries small or sign-flipped diagonal entries
         d_safe = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
         smooth = smooth_T = lambda r: r / d_safe
+
+    if explicit_inv:
+        A_inv = jax.scipy.linalg.lu_solve(
+            lu, jnp.eye(A_s.shape[0], dtype=A_s.dtype))
+
+        def apply(r):
+            rhs = s * _apply_PT(pattern, r, P_eff)
+            return smooth(r) + _apply_P(pattern, s * (A_inv @ rhs),
+                                        P_eff)
+
+        def apply_transpose(r):
+            rhs = s * _apply_PT(pattern, r, P_eff)
+            return smooth_T(r) + _apply_P(pattern, s * (A_inv.T @ rhs),
+                                          P_eff)
+
+        return apply, apply_transpose
 
     def apply(r):
         z_c = s * jax.scipy.linalg.lu_solve(
