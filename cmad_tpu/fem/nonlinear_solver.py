@@ -40,11 +40,22 @@ from cmad_tpu.typing import JaxArray, Params, Scalar
 from cmad_tpu.util.line_search import DEFAULT_LINE_SEARCH_SETTINGS, line_search
 
 
+# FE global Newton defaults to the NON-MONOTONE acceptance policy: the
+# merit ||r|| transiently increases at elastic/plastic switches on the
+# convergent path (see the host-loop comment below and
+# benchmarks/notch_hosford/README.md); a monotone best-merit fallback
+# takes damped steps exactly there. The MP local Newton keeps the
+# monotone default (DEFAULT_LINE_SEARCH_SETTINGS).
+FE_LINE_SEARCH_DEFAULTS: dict[str, Any] = {
+    **DEFAULT_LINE_SEARCH_SETTINGS, "nonmonotone": True,
+}
+
+
 def default_nonlinear_settings() -> dict[str, Any]:
     abs_tol, rel_tol = config.newton_tols("fe_global")
     return {"max iters": 20, "abs tol": abs_tol, "rel tol": rel_tol,
             "print convergence": False,
-            "line search": DEFAULT_LINE_SEARCH_SETTINGS}
+            "line search": FE_LINE_SEARCH_DEFAULTS}
 
 
 DEFAULT_LINEAR_SOLVER_SETTINGS: dict[str, Any] = {
@@ -241,7 +252,7 @@ def _fe_newton_primal(fe_problem, fe_arrays, params_by_block, U_prev,
                       xi_prev_by_block, t, nls, lss):
     max_iters = nls["max iters"]
     abs_tol, rel_tol = nls["abs tol"], nls["rel tol"]
-    ls = {**DEFAULT_LINE_SEARCH_SETTINGS, **nls.get("line search", {})}
+    ls = {**FE_LINE_SEARCH_DEFAULTS, **nls.get("line search", {})}
     ls_max_evals = ls["max evals"]
 
     presc_idx = fe_arrays.prescribed_indices
@@ -336,7 +347,7 @@ def _fe_newton_chunk(fe_problem, fe_arrays, params_by_block, U_prev,
     Returns ``(U, xi, ||r||, R0)``.
     """
     abs_tol, rel_tol = nls["abs tol"], nls["rel tol"]
-    ls = {**DEFAULT_LINE_SEARCH_SETTINGS, **nls.get("line search", {})}
+    ls = {**FE_LINE_SEARCH_DEFAULTS, **nls.get("line search", {})}
     ls_max_evals = ls["max evals"]
 
     presc_idx = fe_arrays.prescribed_indices
@@ -596,7 +607,7 @@ def fe_newton_solve_host(fe_problem: FEProblem,
         # 3.96e-2 -> 4.00e-2 -> 5.0e-3 -> ... -> 1.3e-10; a monotone
         # guard kills the solve exactly at that plateau. Each probe
         # reuses its full (r, K, xi) assembly as the accepted-state aux.
-        ls_host = {**DEFAULT_LINE_SEARCH_SETTINGS,
+        ls_host = {**FE_LINE_SEARCH_DEFAULTS,
                    **nls.get("line search", {})}
         max_probes = max(1, int(ls_host.get("max evals", 5)))
         # the alpha=1 probe rode along with the linear solve above

@@ -33,7 +33,7 @@ from cmad_tpu import config
 from cmad_tpu.fem.assembly import assemble_global
 from cmad_tpu.fem.fe_problem import FEProblem
 from cmad_tpu.fem.nonlinear_solver import (
-    DEFAULT_LINE_SEARCH_SETTINGS,
+    FE_LINE_SEARCH_DEFAULTS,
     default_nonlinear_settings,
     get_two_level_pattern,
 )
@@ -106,7 +106,7 @@ def build_sharded_fe_newton(fe_problem: FEProblem, mesh: Mesh,
     """
     nls = {**default_nonlinear_settings(),
            **(nonlinear_solver_settings or {})}
-    ls = {**DEFAULT_LINE_SEARCH_SETTINGS, **nls.get("line search", {})}
+    ls = {**FE_LINE_SEARCH_DEFAULTS, **nls.get("line search", {})}
     sparsity = fe_problem.kernel_arrays.embedded_sparsity
     presc_idx = fe_problem.kernel_arrays.prescribed_indices
     row_pattern = build_row_sharded_pattern(sparsity, mesh, axis_name)

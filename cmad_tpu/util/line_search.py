@@ -25,6 +25,7 @@ DEFAULT_LINE_SEARCH_SETTINGS: dict[str, Any] = {
     "sufficient decrease": 1.0e-4,
     "min backtrack factor": 0.5,
     "max backtrack factor": 0.9,
+    "nonmonotone": False,
     "print": False,
 }
 
@@ -68,20 +69,37 @@ def line_search(
     the full step is returned untried. If no trial satisfies Armijo within
     the budget, the lowest-merit trial wins. Non-finite merits (diverged
     probes) halve the step.
+
+    ``nonmonotone`` (default off) mirrors the host FE Newton's acceptance
+    policy (``fem/nonlinear_solver.py`` host loop): when NO trial
+    satisfies Armijo, accept the FULL step anyway — unless it blew the
+    merit up past ``100 x phi_0`` (= 10x the residual norm), in which
+    case fall back to the lowest-merit trial. The merit ``0.5 ||r||^2``
+    is nonsmooth at the elastic/plastic switch and transiently INCREASES
+    on the convergent Newton path; a damped best-merit step at that
+    plateau slows convergence where the full step proceeds (measured on
+    the Hosford notch — see benchmarks/notch_hosford/README.md). The
+    probes still run, so a genuinely diverging step is still caught.
     """
     max_evals = settings["max evals"]
     c1 = settings["sufficient decrease"]
     f_lo = settings["min backtrack factor"]
     f_hi = settings["max backtrack factor"]
+    nonmonotone = bool(settings.get("nonmonotone", False))
 
     def cond_fn(carry):
-        n, _a, ok, _aux, _ba, _bp, _baux = carry
+        n, _a, ok, _aux, _ba, _bp, _baux, _fp, _faux = carry
         return jnp.logical_and(n < max_evals, ~ok)
 
     def body_fn(carry):
-        n, alpha, _ok, _aux, best_a, best_phi, best_aux = carry
+        n, alpha, _ok, _aux, best_a, best_phi, best_aux, full_phi, \
+            full_aux = carry
         phi, slope, aux = eval_fn(alpha)
         finite = jnp.isfinite(phi)
+
+        is_first = n == 0  # the alpha = 1 (full-step) probe
+        full_phi = jnp.where(is_first, phi, full_phi)
+        full_aux = _where_tree(is_first, aux, full_aux)
 
         better = jnp.logical_and(finite, phi < best_phi)
         best_a = jnp.where(better, alpha, best_a)
@@ -97,16 +115,25 @@ def line_search(
         contracted = jnp.clip(model_min, f_lo * alpha, f_hi * alpha)
         next_alpha = jnp.where(
             ok, alpha, jnp.where(finite, contracted, 0.5 * alpha))
-        return n + 1, next_alpha, ok, aux, best_a, best_phi, best_aux
+        return (n + 1, next_alpha, ok, aux, best_a, best_phi, best_aux,
+                full_phi, full_aux)
 
     one = jnp.asarray(1.0, dtype=jnp.asarray(phi_0).dtype)
+    inf = jnp.asarray(jnp.inf, dtype=one.dtype)
     init = (jnp.asarray(0), one, jnp.asarray(False), init_aux,
-            one, jnp.asarray(jnp.inf, dtype=one.dtype), init_aux)
-    n, alpha, ok, aux, best_a, _bp, best_aux = lax.while_loop(
-        cond_fn, body_fn, init)
+            one, inf, init_aux, inf, init_aux)
+    n, alpha, ok, aux, best_a, _bp, best_aux, full_phi, full_aux = \
+        lax.while_loop(cond_fn, body_fn, init)
 
-    out_alpha = jnp.where(ok, alpha, best_a)
-    out_aux = _where_tree(ok, aux, best_aux)
+    if nonmonotone:
+        accept_full = jnp.logical_and(jnp.isfinite(full_phi),
+                                      full_phi <= 100.0 * phi_0)
+        fallback_a = jnp.where(accept_full, one, best_a)
+        fallback_aux = _where_tree(accept_full, full_aux, best_aux)
+    else:
+        fallback_a, fallback_aux = best_a, best_aux
+    out_alpha = jnp.where(ok, alpha, fallback_a)
+    out_aux = _where_tree(ok, aux, fallback_aux)
     if settings.get("print", False):
         debug.print(" > line search: alpha = {a:.3e} ({n} evals)",
                     a=out_alpha, n=n)
