@@ -2,8 +2,13 @@
 
 Parity: reference ``cmad/models/elastic.py:30-223``. Flat state layout:
 FULL_3D          xi = [cauchy6]                      (6 dofs)
+PLANE_STRAIN     xi = [cauchy6]                      (6 dofs)
 PLANE_STRESS     xi = [cauchy6, oop_stretch]         (7 dofs)
 UNIAXIAL_STRESS  xi = [cauchy6, off_axis_stretch2]   (8 dofs)
+
+PLANE_STRAIN (F_33 = 1 kinematically prescribed) shares the FULL_3D
+layout and closed form; the reference raises NotImplementedError for it
+(elastic.py:69).
 """
 from __future__ import annotations
 
@@ -41,7 +46,7 @@ def _build_layout(def_type: int) -> StateLayout:
     elif def_type == DefType.UNIAXIAL_STRESS:
         blocks.append(StateBlock.ones(
             "off-axis stretches", "off-axis normal stress", VarType.VECTOR, 2))
-    elif def_type != DefType.FULL_3D:
+    elif def_type not in (DefType.FULL_3D, DefType.PLANE_STRAIN):
         raise NotImplementedError(f"Elastic: def_type {def_type}")
     return StateLayout(blocks)
 
@@ -69,8 +74,9 @@ class Elastic(Model):
                            stretch_slc=stretch_slc)
         cauchy = self._cauchy_fn
         closed_form = None
-        if def_type == DefType.FULL_3D:
+        if def_type in (DefType.FULL_3D, DefType.PLANE_STRAIN):
             closed_form = partial(self._cauchy_closed_form_fn,
+                                  def_type=def_type,
                                   elastic_stress=elastic_stress_fun)
         super().__init__(residual, cauchy, layout, parameters, def_type,
                          cauchy_closed_form_fun=closed_form)
@@ -99,7 +105,7 @@ class Elastic(Model):
         C_cauchy = vector_from_sym_tensor(
             cauchy - elastic_stress(F, params)) / scale
 
-        if def_type == DefType.FULL_3D:
+        if def_type in (DefType.FULL_3D, DefType.PLANE_STRAIN):
             return C_cauchy
         if def_type == DefType.PLANE_STRESS:
             return jnp.concatenate([C_cauchy, cauchy[2:3, 2] / scale])
@@ -113,8 +119,9 @@ class Elastic(Model):
         return sym_tensor_from_vector(xi[..., :6])
 
     @staticmethod
-    def _cauchy_closed_form_fn(params, U, U_prev, *, elastic_stress) -> JaxArray:
-        F = jnp.eye(3, dtype=U.grad_fields["u"].dtype) + U.grad_fields["u"]
+    def _cauchy_closed_form_fn(params, U, U_prev, *, def_type,
+                               elastic_stress) -> JaxArray:
+        F = gather_F(U.grad_fields["u"], def_type)
         return elastic_stress(F, params)
 
     @staticmethod

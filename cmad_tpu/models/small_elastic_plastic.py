@@ -3,8 +3,14 @@
 Parity: reference ``cmad/models/small_elastic_plastic.py:96-347``.
 Flat state layout:
 FULL_3D          xi = [plastic_strain6, alpha]                  (7)
+PLANE_STRAIN     xi = [plastic_strain6, alpha]                  (7)
 PLANE_STRESS     xi = [..., oop_stretch]                        (8)
 UNIAXIAL_STRESS  xi = [..., off_axis_stretch2]                  (9)
+
+PLANE_STRAIN is kinematically prescribed (F_33 = 1, no constrained
+stretch state), so it shares the FULL_3D layout; the reference raises
+NotImplementedError for it (small_elastic_plastic.py:140) — cmad_tpu
+supports it natively.
 """
 from __future__ import annotations
 
@@ -49,7 +55,7 @@ def _build_layout(def_type: int) -> StateLayout:
         blocks.append(StateBlock.ones(
             "off-axis stretches", "off-axis normal stress",
             VarType.VECTOR, 2))
-    elif def_type != DefType.FULL_3D:
+    elif def_type not in (DefType.FULL_3D, DefType.PLANE_STRAIN):
         raise NotImplementedError(f"SmallElasticPlastic: def_type {def_type}")
     return StateLayout(blocks)
 
@@ -180,7 +186,7 @@ class SmallElasticPlastic(Model):
             vector_from_sym_tensor(dp - delta_gamma * normal),
             yield_fun[None]])
 
-        if def_type != DefType.FULL_3D:
+        if def_type in (DefType.PLANE_STRESS, DefType.UNIAXIAL_STRESS):
             scale = two_mu_scale_factor(params)
             Q = params["rotation matrix"]
             g_cauchy = Q @ cauchy @ Q.T

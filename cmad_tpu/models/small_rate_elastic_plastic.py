@@ -3,8 +3,14 @@
 Parity: reference ``cmad/models/small_rate_elastic_plastic.py:104-383``.
 Flat state layout:
 FULL_3D          xi = [unrotated_cauchy6, alpha]                      (7)
+PLANE_STRAIN     xi = [unrotated_cauchy6, alpha]                      (7)
 PLANE_STRESS     xi = [..., oop_stretch]                              (8)
 UNIAXIAL_STRESS  xi = [..., off_axis_stretch2, off_axis_dstrain3]     (12)
+
+PLANE_STRAIN is kinematically prescribed (F_33 = 1, no constrained
+stretch state), so it shares the FULL_3D layout; the reference raises
+NotImplementedError for it (small_rate_elastic_plastic.py:150) —
+cmad_tpu supports it natively.
 
 The residual selects the elastic predictor vs. the plastic-corrector branch
 with a smooth ``jnp.where`` (paths.py), so it is branch-free across a TPU
@@ -57,7 +63,7 @@ def _build_layout(def_type: int) -> StateLayout:
         blocks.append(StateBlock.zeros(
             "off-axis delta strains", "off-axis shear stress",
             VarType.VECTOR, 3))
-    elif def_type != DefType.FULL_3D:
+    elif def_type not in (DefType.FULL_3D, DefType.PLANE_STRAIN):
         raise NotImplementedError(
             f"SmallRateElasticPlastic: def_type {def_type}")
     return StateLayout(blocks)
@@ -199,7 +205,7 @@ class SmallRateElasticPlastic(Model):
         C_e = jnp.concatenate([C_e_sig, delta_gamma[None]])
         C_p = jnp.concatenate([C_p_sig, yield_fun[None]])
 
-        if def_type != DefType.FULL_3D:
+        if def_type in (DefType.PLANE_STRESS, DefType.UNIAXIAL_STRESS):
             Q = params["rotation matrix"]
             g_trial = Q @ dsig_trial @ Q.T
             g_plastic = Q @ dsig_plastic @ Q.T

@@ -313,3 +313,44 @@ def test_primal_roundtrip_yield_families(yield_name, tmp_path):
     xi = np.load(out / "xi.npy")
     assert xi[-1, 6] > 0.0  # the ramp went plastic
     assert np.isfinite(np.load(out / "cauchy.npy")).all()
+
+
+@pytest.mark.parametrize("model_name", ["small_rate_elastic_plastic",
+                                        "small_elastic_plastic"])
+def test_primal_roundtrip_plane_strain(model_name, tmp_path):
+    """MP primal with def_type plane_strain through the CLI — a drive
+    the reference cannot run (its plastic models raise
+    NotImplementedError at PLANE_STRAIN,
+    cmad/models/small_rate_elastic_plastic.py:150)."""
+    num_steps = 8
+    eps = np.r_[0.0, np.linspace(0.001, 0.012, num_steps)]
+    F = np.repeat(np.eye(2)[:, :, None], num_steps + 1, axis=2)
+    F[0, 0, :] += eps
+    F[1, 1, :] -= 0.45 * eps
+    np.save(tmp_path / "F.npy", F)
+
+    deck = {
+        "problem": {"type": "material_point", "name": "plane_strain"},
+        "model": {"name": model_name, "def_type": "plane_strain"},
+        "parameters": _params_section(),
+        "deformation": {"history_file": str(tmp_path / "F.npy")},
+        "solver": {"newton": {}},
+        "output": {"path": str(tmp_path / "out")},
+    }
+    path = tmp_path / "deck.yaml"
+    path.write_text(yaml.safe_dump(deck))
+    assert cmad_main(["primal", str(path)]) == 0
+
+    out = tmp_path / "out"
+    solver_log = json.loads((out / "solver.json").read_text())
+    assert all(e["final_residual"] < 1e-10 for e in solver_log)
+    cauchy = np.load(out / "cauchy.npy")
+    s = cauchy[:, :, -1]
+    # plane strain: the out-of-plane constraint stress is nonzero,
+    # in-plane/out-of-plane shears vanish
+    assert abs(s[2, 2]) > 1.0
+    np.testing.assert_allclose(s[0, 1], 0.0, atol=1e-8)
+    np.testing.assert_allclose(s[0, 2], 0.0, atol=1e-8)
+    xi = np.load(out / "xi.npy")
+    assert xi.shape[1] == 7  # PLANE_STRAIN shares the FULL_3D layout
+    assert xi[-1, 6] > 0.0  # the ramp went plastic
