@@ -1,6 +1,14 @@
-"""Consolidated per-point kernel table: reduced vs generic updates/s,
-CPU f64, 20k-point batch straddling yield."""
+"""Consolidated per-point kernel table: reduced vs generic updates/s
+on the default backend, batch straddling yield.
+
+Batch size via CMAD_KERNEL_BATCH (default 20k — sized for single-core
+CPU f64; on TPU use >= 1M so kernel time dominates the ~30 ms link
+dispatch floor). Writes results_<backend>.json next to this file.
+"""
+import json
+import os
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -11,10 +19,11 @@ from cmad_tpu.models.nonlinear_solver import make_newton_solve
 from cmad_tpu.models.small_rate_elastic_plastic import SmallRateElasticPlastic
 from cmad_tpu.parameters.parameters import Parameters
 
-B = 20000
+B = int(os.environ.get("CMAD_KERNEL_BATCH", 20000))
 rng = np.random.RandomState(0)
 eps = rng.normal(0.0, 2.5e-3, size=(B, 3, 3))
-eps_diag = np.stack([np.diag(np.diag(e)) for e in eps])
+eps_diag = np.zeros_like(eps)
+eps_diag[:, np.arange(3), np.arange(3)] = eps[:, np.arange(3), np.arange(3)]
 
 
 def fields(g):
@@ -47,6 +56,8 @@ def es(kind):
             "hosford_principal": {"hosford_principal": {"a": 100.0}}}[kind]
 
 
+results = {"batch": B, "backend": jax.default_backend(),
+           "dtype": str(jnp.zeros(()).dtype), "rows": {}}
 for kind in ("J2", "hill", "hosford", "hosford_principal"):
     params = Parameters({
         "rotation matrix": np.eye(3),
@@ -80,3 +91,9 @@ for kind in ("J2", "hill", "hosford", "hosford_principal"):
     ups_r = bench(reduced, gu)
     print(f"{kind:18s} generic {ups_g:10.0f}/s  reduced {ups_r:10.0f}/s"
           f"  speedup {ups_r / ups_g:5.1f}x")
+    results["rows"][kind] = {"generic_updates_per_sec": round(ups_g),
+                             "reduced_updates_per_sec": round(ups_r)}
+
+out = (Path(__file__).resolve().parent
+       / f"results_{results['backend']}.json")
+out.write_text(json.dumps(results, indent=2))

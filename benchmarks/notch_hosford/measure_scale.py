@@ -32,6 +32,7 @@ REFERENCE = "/root/reference"
 def measure_ours(mesh_path: Path, driver: str = "scan",
                  precon: str = "jacobi",
                  chunk_iters: int | None = None,
+                 window_steps: int | None = None,
                  nls_json: str | None = None,
                  yield_form: str = "hosford") -> dict:
     sys.path.insert(0, str(REPO_ROOT))
@@ -110,7 +111,8 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
 
             def run_once():
                 state, log = fe_quasistatic_drive_stepped(
-                    fe, ts, max_iters_per_dispatch=chunk_iters, **kwargs)
+                    fe, ts, max_iters_per_dispatch=chunk_iters,
+                    steps_per_dispatch=window_steps, **kwargs)
                 return np.asarray(state.U_at(len(ts) - 1)), log
 
             t0 = time.perf_counter()
@@ -156,6 +158,8 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
         "driver": {"host": "host-loop", "stepped": "stepped",
                    "scan": "scan"}[driver]
         + (f"-K{chunk_iters}" if driver == "stepped" and chunk_iters
+           else "")
+        + (f"-W{window_steps}" if driver == "stepped" and window_steps
            else ""),
         "preconditioner": precon if backend == "tpu" else "direct",
         "n_elems": int(fe.mesh.connectivity.shape[0]),
@@ -234,6 +238,9 @@ def main() -> None:
     ap.add_argument("--chunk-iters", type=int, default=None,
                     help="stepped driver: max Newton iterations fused "
                          "per dispatch (bounds device-program duration)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="stepped driver: batch W time steps per device "
+                         "program (amortizes link dispatch latency)")
     ap.add_argument("--precon", default="jacobi",
                     choices=["jacobi", "chebyshev", "two_level"])
     ap.add_argument("--yield-form", default="hosford",
@@ -250,6 +257,7 @@ def main() -> None:
         out = measure_ours(args.mesh.resolve(), driver=driver,
                            precon=args.precon,
                            chunk_iters=args.chunk_iters,
+                           window_steps=args.window,
                            nls_json=args.nls,
                            yield_form=args.yield_form)
     else:
@@ -261,6 +269,8 @@ def main() -> None:
         tag += f"_{args.precon}"
         if driver != "scan":
             tag += f"_{driver}" if driver != "host" else ""
+        if args.window:
+            tag += f"_w{args.window}"
     (HERE / f"scale_{tag}.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 

@@ -113,7 +113,9 @@ def run_primal_fe(deck_path: Path) -> int:
                 linear_solver_settings=bundle.resolved["linear solver"],
                 U_init=U_init, xi_init_by_block=xi_init,
                 max_iters_per_dispatch=bundle.resolved["residuals"][
-                    "global residual"].get("max iters per dispatch"))
+                    "global residual"].get("max iters per dispatch"),
+                steps_per_dispatch=bundle.resolved["residuals"][
+                    "global residual"].get("steps per dispatch"))
             J = _accumulate_qoi_over_history(
                 bundle, state,
                 None if write_qoi is not None else qoi)

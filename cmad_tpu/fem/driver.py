@@ -150,7 +150,8 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
                                  nonlinear_solver_settings: dict | None = None,
                                  linear_solver_settings: dict | None = None,
                                  U_init=None, xi_init_by_block=None,
-                                 max_iters_per_dispatch: int | None = None):
+                                 max_iters_per_dispatch: int | None = None,
+                                 steps_per_dispatch: int | None = None):
     """Stepped drive: ONE fused device program per time step.
 
     The middle ground between the scanned trajectory (the whole history
@@ -179,6 +180,17 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
     ``(U_prev, xi_prev)``; the host re-dispatches until the step
     converges — ceil(iters/K) dispatches per step instead of the host
     loop's one per iteration.
+
+    ``steps_per_dispatch`` (W) goes the OTHER way: batch W consecutive
+    time steps into one device program (a ``lax.scan`` over the window,
+    each entry the full fused Newton plus its true-residual pair),
+    paying ceil(n_steps/W) dispatches total. Use it when single steps
+    sit well under the link's execution ceiling and the per-dispatch
+    latency dominates the wall (small meshes through a remote tunnel).
+    W=1 is exactly the plain stepped drive; W=n_steps is the scanned
+    trajectory plus the per-step residual verification the scan lacks.
+    Mutually exclusive with ``max_iters_per_dispatch`` (one bounds the
+    program duration down, the other batches it up).
 
     Returns ``(FEState, solver_log)`` with per-step
     ``{"final_residual", "initial_residual"}`` entries (parity with
@@ -228,6 +240,12 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
         norm0 = residual_norm(params_by_block, U_prev, U_prev, xi_prev, t)
         return U, xi, norm, norm0
 
+    if max_iters_per_dispatch is not None and steps_per_dispatch is not None:
+        raise ValueError(
+            "max_iters_per_dispatch and steps_per_dispatch are mutually "
+            "exclusive: the first splits one step across dispatches, the "
+            "second batches steps into one")
+
     if max_iters_per_dispatch is not None:
         from cmad_tpu.fem.nonlinear_solver import _fe_newton_chunk
         K = int(max_iters_per_dispatch)
@@ -240,6 +258,34 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
             return _fe_newton_chunk(
                 fe_problem, fe_arrays, params_by_block, U_prev, xi_prev,
                 t, nls, lss, U_start, R0_in, K)
+
+    if steps_per_dispatch is not None:
+        W = int(steps_per_dispatch)
+        if W < 1:
+            raise ValueError(
+                f"steps_per_dispatch must be >= 1; got {W}")
+
+        @jit
+        def window(params_by_block, U0, xi0, ts):
+            """ts: (w,) step times — w static per specialization; one
+            program per distinct window length (at most two: the full W
+            and one remainder)."""
+
+            def body(carry, t):
+                U_prev, xi_prev = carry
+                U, xi_solved = _fe_newton_solve_ad(
+                    fe_problem, fe_arrays, params_by_block, U_prev,
+                    xi_prev, t, nls_frozen, lss_frozen)
+                xi = {**xi_prev, **xi_solved}
+                norm = residual_norm(params_by_block, U, U_prev, xi_prev,
+                                     t)
+                norm0 = residual_norm(params_by_block, U_prev, U_prev,
+                                      xi_prev, t)
+                return (U, xi), (U, xi, norm, norm0)
+
+            (_, _), (U_s, xi_s, norms, norms0) = lax.scan(
+                body, (U0, xi0), ts)
+            return U_s, xi_s, norms, norms0
 
     dtype = config.real_dtype()
     abs_tol, rel_tol = float(nls["abs tol"]), float(nls["rel tol"])
@@ -264,16 +310,7 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
                 break
         return (U_start, {**xi_prev, **xi_solved}, norm, float(R0_in))
 
-    U = jnp.asarray(state.U_at(0), dtype=dtype)
-    xi = {b: jnp.asarray(state.xi_at(0, b))
-          for b in fe_problem.models_by_block}
-    log: list[dict[str, float]] = []
-    for i, t in enumerate([float(x) for x in t_schedule[1:]], start=1):
-        U, xi, norm, norm0 = solve_step(U, xi,
-                                        jnp.asarray(t, dtype=dtype))
-        state.append(np.asarray(U), {b: np.asarray(v)
-                                     for b, v in xi.items()}, t_new=t)
-        log.append({"final_residual": norm, "initial_residual": norm0})
+    def _check_step(i, t, norm, norm0):
         if (norm >= 100.0 * float(nls["abs tol"])
                 and norm >= 100.0 * float(nls["rel tol"]) * norm0):
             warnings.warn(
@@ -282,7 +319,40 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
                 f"abs tol {float(nls['abs tol']):.1e} / rel "
                 f"{float(nls['rel tol']):.1e} — likely an iteration-cap "
                 "exit; check the linear-solver configuration",
-                RuntimeWarning, stacklevel=2)
+                RuntimeWarning, stacklevel=3)
+
+    U = jnp.asarray(state.U_at(0), dtype=dtype)
+    xi = {b: jnp.asarray(state.xi_at(0, b))
+          for b in fe_problem.models_by_block}
+    log: list[dict[str, float]] = []
+    times = [float(x) for x in t_schedule[1:]]
+
+    if steps_per_dispatch is not None:
+        step_no = 0
+        for lo in range(0, len(times), W):
+            ts = jnp.asarray(times[lo:lo + W], dtype=dtype)
+            U_s, xi_s, norms, norms0 = window(params, U, xi, ts)
+            U = U_s[-1]
+            xi = {b: xi_s[b][-1] for b in xi_s}
+            norms_h, norms0_h = np.asarray(norms), np.asarray(norms0)
+            for j, t in enumerate(times[lo:lo + W]):
+                step_no += 1
+                state.append(np.asarray(U_s[j]),
+                             {b: np.asarray(xi_s[b][j]) for b in xi_s},
+                             t_new=t)
+                norm, norm0 = float(norms_h[j]), float(norms0_h[j])
+                log.append({"final_residual": norm,
+                            "initial_residual": norm0})
+                _check_step(step_no, t, norm, norm0)
+        return state, log
+
+    for i, t in enumerate(times, start=1):
+        U, xi, norm, norm0 = solve_step(U, xi,
+                                        jnp.asarray(t, dtype=dtype))
+        state.append(np.asarray(U), {b: np.asarray(v)
+                                     for b, v in xi.items()}, t_new=t)
+        log.append({"final_residual": norm, "initial_residual": norm0})
+        _check_step(i, t, norm, norm0)
     return state, log
 
 

@@ -36,7 +36,15 @@ def mp_deck(tmp_path):
 
 
 def _run(args, cwd):
-    env = {**os.environ, "CMAD_X64": "1", "JAX_PLATFORM_NAME": "cpu"}
+    # the subprocess runs from the deck tempdir: put the repo root on
+    # PYTHONPATH so `python -m cmad_tpu` resolves without an installed
+    # (pip -e) package
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    pythonpath = os.pathsep.join(
+        p for p in (repo_root, os.environ.get("PYTHONPATH")) if p)
+    env = {**os.environ, "CMAD_X64": "1", "JAX_PLATFORM_NAME": "cpu",
+           "PYTHONPATH": pythonpath}
     return subprocess.run(args, cwd=cwd, env=env, capture_output=True,
                           text=True, timeout=300)
 

@@ -78,3 +78,28 @@ def test_unknown_driver_rejected(deck, monkeypatch):
     Path("d.yaml").write_text(yaml.safe_dump(d))
     with pytest.raises(ValueError, match="driver"):
         cmad_main(["primal", "d.yaml"])
+
+
+def test_windowed_stepped_driver_matches_scan(deck, monkeypatch):
+    """`driver: stepped` + `steps per dispatch: W` batches W time steps
+    into one device program through the CLI and reproduces the scan
+    trajectory."""
+    tmp_path, d = deck
+    monkeypatch.chdir(tmp_path)
+    u = {}
+    for tag, extra in {"scan": {}, "stepped_w": {
+            "driver_name": "stepped", "steps per dispatch": 2}}.items():
+        gr = d["residuals"]["global residual"]
+        gr["driver"] = extra.get("driver_name", tag)
+        gr.pop("steps per dispatch", None)
+        if "steps per dispatch" in extra:
+            gr["steps per dispatch"] = extra["steps per dispatch"]
+        d["output"] = {"path": f"out_w_{tag}"}
+        Path(f"d_w_{tag}.yaml").write_text(yaml.safe_dump(d))
+        assert cmad_main(["primal", f"d_w_{tag}.yaml"]) == 0
+        res = read_results(
+            next(Path(f"out_w_{tag}").glob("*.exo")),
+            nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+        u[tag] = res.nodal["u"]
+    np.testing.assert_allclose(u["stepped_w"], u["scan"], rtol=1e-10,
+                               atol=1e-12)

@@ -129,3 +129,68 @@ def test_chunked_dispatch_matches_unchunked():
                 1.0, e_k["initial_residual"])
             assert np.isclose(e_k["initial_residual"],
                               e_ref["initial_residual"], rtol=1e-6)
+
+
+def test_windowed_dispatch_matches_stepped():
+    """W-step windows (steps_per_dispatch) reproduce the per-step
+    trajectory and log exactly: the window is a lax.scan of the SAME
+    fused step program, so only the dispatch granularity changes.
+    Covers W=1 (degenerate), W=2 (full window + remainder window of 1),
+    and W >= n_steps (one program, scan over the whole schedule)."""
+    fe = _problem()
+    t_schedule = [0.0, 0.25, 0.5, 0.75, 1.0]
+    state_ref, log_ref = fe_quasistatic_drive_stepped(fe, t_schedule)
+    for W in (1, 2, 7):
+        state_w, log_w = fe_quasistatic_drive_stepped(
+            fe, t_schedule, steps_per_dispatch=W)
+        assert len(log_w) == len(t_schedule) - 1
+        for step in range(len(t_schedule)):
+            assert np.allclose(state_w.U_at(step), state_ref.U_at(step),
+                               atol=1e-10)
+            assert np.allclose(state_w.xi_at(step, "all"),
+                               state_ref.xi_at(step, "all"), atol=1e-7)
+        for e_w, e_ref in zip(log_w, log_ref):
+            assert e_w["final_residual"] <= 1e-8 * max(
+                1.0, e_w["initial_residual"])
+            assert np.isclose(e_w["initial_residual"],
+                              e_ref["initial_residual"], rtol=1e-6)
+
+
+def test_windowed_restart_from_recorded_state():
+    fe = _problem()
+    full, _ = fe_quasistatic_drive_stepped(
+        fe, [0.0, 0.25, 0.5, 0.75, 1.0], steps_per_dispatch=2)
+    tail, _ = fe_quasistatic_drive_stepped(
+        fe, [0.5, 0.75, 1.0], steps_per_dispatch=2,
+        U_init=full.U_at(2),
+        xi_init_by_block={"all": full.xi_at(2, "all")})
+    for k_tail, k_full in ((1, 3), (2, 4)):
+        assert np.allclose(tail.U_at(k_tail), full.U_at(k_full),
+                           atol=1e-10)
+        assert np.allclose(tail.xi_at(k_tail, "all"),
+                           full.xi_at(k_full, "all"), atol=1e-7)
+
+
+def test_windowed_rejects_iter_cap_combination():
+    fe = _problem()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fe_quasistatic_drive_stepped(
+            fe, [0.0, 1.0], steps_per_dispatch=2,
+            max_iters_per_dispatch=3)
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        fe_quasistatic_drive_stepped(
+            fe, [0.0, 1.0], steps_per_dispatch=0)
+
+
+def test_windowed_warns_on_iteration_cap():
+    fe = _problem()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fe_quasistatic_drive_stepped(
+            fe, [0.0, 0.5, 1.0], steps_per_dispatch=2,
+            nonlinear_solver_settings={"max iters": 1,
+                                       "abs tol": 1e-14,
+                                       "rel tol": 1e-14})
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("iteration-cap" in m for m in msgs)
