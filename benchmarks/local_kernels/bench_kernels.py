@@ -58,6 +58,15 @@ def es(kind):
 
 results = {"batch": B, "backend": jax.default_backend(),
            "dtype": str(jnp.zeros(()).dtype), "rows": {}}
+if jax.default_backend() == "tpu" and B < 1_000_000:
+    # make the artifact self-describing: at sub-1M batch on TPU the
+    # ~30 ms link dispatch floor is a visible fraction of each timed
+    # call, so these are NOT kernel-isolated figures (see README)
+    results["note"] = (
+        f"batch {B} < 1M on TPU: numbers include the link's ~30 ms "
+        "per-dispatch floor and understate kernel throughput; "
+        "recorded at FE-realistic batch deliberately (README)")
+    results["includes_dispatch_floor"] = True
 for kind in ("J2", "hill", "hosford", "hosford_principal"):
     params = Parameters({
         "rotation matrix": np.eye(3),

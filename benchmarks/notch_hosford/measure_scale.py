@@ -253,6 +253,17 @@ def main() -> None:
                          " (e.g. '{\"line search\": {\"max evals\": 0}}')")
     args = ap.parse_args()
     driver = args.driver or ("host" if args.host_loop else "scan")
+    if args.window is not None and driver != "stepped":
+        ap.error("--window only applies to --driver stepped "
+                 f"(got --driver {driver}); it would be silently "
+                 "ignored and mislabel the output file")
+    if args.chunk_iters is not None and driver != "stepped":
+        ap.error("--chunk-iters only applies to --driver stepped "
+                 f"(got --driver {driver})")
+    if args.window is not None and args.chunk_iters is not None:
+        ap.error("--window and --chunk-iters are mutually exclusive: "
+                 "the first batches W time steps into one dispatch, "
+                 "the second splits one step across dispatches")
     if args.who == "ours":
         out = measure_ours(args.mesh.resolve(), driver=driver,
                            precon=args.precon,

@@ -90,6 +90,8 @@ def validate_deck(deck: dict[str, Any], subcommand: str) -> None:
             deck.get("residuals", {}).get("global residual", {}).get("type"),
             registered_global_residual_names(),
             "residuals.global residual.type")
+        _check_dispatch_caps(
+            deck.get("residuals", {}).get("global residual", {}))
 
     qoi_name = None
     if "qoi" in all_sections and "qoi" in deck:
@@ -125,6 +127,32 @@ def _checked_model_name(deck: dict[str, Any],
         _check_registered(local["type"], registered_model_names(),
                           "residuals.local residual.type")
     return None
+
+
+def _check_dispatch_caps(global_residual: Any) -> None:
+    """Semantic constraints the JSON-Schema fragment cannot express,
+    checked at deck-resolution time and phrased in deck-key terms (the
+    runtime errors name Python kwargs; a bad deck should never get that
+    far — it would fail only after full problem construction)."""
+    if not isinstance(global_residual, dict):
+        return
+    prefix = "residuals.global residual"
+    has_iter_cap = "max iters per dispatch" in global_residual
+    has_step_cap = "steps per dispatch" in global_residual
+    if has_iter_cap and has_step_cap:
+        raise ValueError(
+            f"{prefix}: 'max iters per dispatch' and 'steps per "
+            "dispatch' are mutually exclusive — the first splits one "
+            "time step across device dispatches, the second batches "
+            "time steps into one dispatch. Remove one of the two keys.")
+    driver = global_residual.get("driver", "scan")
+    if (has_iter_cap or has_step_cap) and driver != "stepped":
+        key = ("max iters per dispatch" if has_iter_cap
+               else "steps per dispatch")
+        raise ValueError(
+            f"{prefix}: '{key}' only applies to the stepped driver, "
+            f"but 'driver' is {driver!r} (default: scan). Set "
+            f"'{prefix}.driver: stepped' or remove '{key}'.")
 
 
 def _check_registered(name: Any, known: list[str], path: str) -> None:

@@ -170,3 +170,52 @@ def test_times_file_form_validates():
     deck["discretization"].pop("step size", None)
     deck["discretization"]["times file"] = "times.npy"
     validate_deck(apply_deck_defaults(deck), "primal")
+
+
+def test_both_dispatch_caps_rejected_in_deck_terms():
+    """'max iters per dispatch' + 'steps per dispatch' together must be
+    rejected at deck-resolution time, with the error naming the deck
+    keys (not the Python kwargs) — a bad deck must not survive until
+    full problem construction."""
+    deck = _fe_deck()
+    gr = deck["residuals"]["global residual"]
+    gr["driver"] = "stepped"
+    gr["max iters per dispatch"] = 2
+    gr["steps per dispatch"] = 2
+    with pytest.raises(ValueError) as err:
+        validate_deck(apply_deck_defaults(deck), "primal")
+    msg = str(err.value)
+    assert "max iters per dispatch" in msg
+    assert "steps per dispatch" in msg
+    assert "max_iters_per_dispatch" not in msg
+
+
+@pytest.mark.parametrize("cap_key", ["max iters per dispatch",
+                                     "steps per dispatch"])
+@pytest.mark.parametrize("driver", [None, "scan", "host"])
+def test_dispatch_cap_requires_stepped_driver(cap_key, driver):
+    """A per-dispatch cap on a non-stepped driver would be silently
+    ignored; the deck must be rejected with guidance naming the key
+    and the stepped driver."""
+    deck = _fe_deck()
+    gr = deck["residuals"]["global residual"]
+    if driver is not None:
+        gr["driver"] = driver
+    else:
+        gr.pop("driver", None)
+    gr[cap_key] = 2
+    with pytest.raises(ValueError) as err:
+        validate_deck(apply_deck_defaults(deck), "primal")
+    msg = str(err.value)
+    assert cap_key in msg
+    assert "stepped" in msg
+
+
+@pytest.mark.parametrize("cap_key", ["max iters per dispatch",
+                                     "steps per dispatch"])
+def test_dispatch_cap_with_stepped_driver_validates(cap_key):
+    deck = _fe_deck()
+    gr = deck["residuals"]["global residual"]
+    gr["driver"] = "stepped"
+    gr[cap_key] = 2
+    validate_deck(apply_deck_defaults(deck), "primal")
