@@ -1,0 +1,142 @@
+"""FE calibration AT SCALE through the stepped adjoint.
+
+Recovers the initial yield Y of the J2+Voce notch from synthetic
+displacement data on a mesh far beyond the reference's own notch
+(its shipped mesh is 1550 tets; the reference's forward solve alone
+takes 2874 s at 47.6k tets — `scale_reference_47628.json` — putting a
+multi-eval gradient calibration out of reach there). Ours runs the
+`driver: stepped` sensitivity path (`fem/stepped_adjoint.py`): per-step
+forward + per-step adjoint device programs, each bounded under the
+remote link's per-execution ceiling (benchmarks/tunnel_repro/).
+
+    python benchmarks/notch_hosford/calibrate_scale.py \
+        --mesh examples/meshes/notch_h0.015.exo [--maxiter 12]
+
+Writes calibrate_scale_<n_elems>_<backend>.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+REPO_ROOT = HERE.parent.parent
+Y_TRUE, Y_START = 2.0, 2.6
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", required=True, type=Path)
+    ap.add_argument("--maxiter", type=int, default=12)
+    ap.add_argument("--weight", type=float, default=1.0e6)
+    args = ap.parse_args()
+    mesh_path = args.mesh.resolve()
+
+    sys.path.insert(0, str(REPO_ROOT))
+    import numpy as np
+    import yaml
+
+    import jax
+
+    backend = jax.default_backend()
+
+    from cmad_tpu.cli.main import main as cmad_main
+    from cmad_tpu.io.exodus import read_results
+    from cmad_tpu.io.results import FieldSpec
+    from cmad_tpu.models.var_types import VarType
+
+    workdir = Path(tempfile.mkdtemp(prefix="notch_cal_scale_"))
+    (workdir / "meshes").mkdir()
+    shutil.copy(mesh_path, workdir / "meshes/notch.exo")
+
+    base = yaml.safe_load(
+        (REPO_ROOT / "examples/notch_hosford.yaml").read_text())
+    base["discretization"]["mesh file"] = "meshes/notch.exo"
+    # J2 form: the workhorse yield the FE block fast path specializes —
+    # what makes one fused Newton step fit under the link ceiling at
+    # this size (benchmarks/notch_hosford/README.md r3 J2 re-record)
+    mats = base["residuals"]["local residual"]["materials"]
+    for mat in mats.values():
+        mat["plastic"]["effective stress"] = {"J2": {}}
+    base["residuals"]["global residual"]["driver"] = "stepped"
+    if backend == "tpu":
+        base["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
+                                 "max iters": 2000,
+                                 "adaptive rtol": True,
+                                 "preconditioner": {"type": "two_level"}}
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        # 1) truth primal at Y_TRUE (stepped driver)
+        deck = yaml.safe_load(yaml.safe_dump(base))
+        deck["output"] = {"path": "truth",
+                          "exodus filename": "truth.exo",
+                          "global residual": ["u"]}
+        Path("deck_truth.yaml").write_text(yaml.safe_dump(deck))
+        t0 = time.perf_counter()
+        assert cmad_main(["primal", "deck_truth.yaml"]) == 0
+        primal_wall = time.perf_counter() - t0
+        res = read_results(Path("truth/truth.exo"),
+                           nodal_field_specs=[FieldSpec("u",
+                                                        VarType.VECTOR)])
+        np.save("u_data.npy", res.nodal["u"])
+
+        # 2) calibrate from Y_START through the stepped adjoint
+        deck = yaml.safe_load(yaml.safe_dump(base))
+        mat = deck["residuals"]["local residual"]["materials"]["block_1"]
+        mat["plastic"]["flow stress"]["initial yield"] = {
+            "Y": {"value": Y_START, "active": True,
+                  "transform": {"log": Y_TRUE}}}
+        deck["qoi"] = {"name": "fe_displacement_match",
+                       "data_file": "u_data.npy",
+                       "weight": args.weight}
+        deck["optimizer"] = {"algorithm": "L-BFGS-B",
+                             "options": {"maxiter": args.maxiter}}
+        deck["output"] = {"path": "cal", "write exodus": False}
+        Path("deck_cal.yaml").write_text(yaml.safe_dump(deck))
+
+        t0 = time.perf_counter()
+        assert cmad_main(["calibrate", "deck_cal.yaml"]) == 0
+        wall = time.perf_counter() - t0
+
+        opt = yaml.safe_load(Path("cal/opt_params.yaml").read_text())
+        Y_fit = float(opt["block_1"]["plastic"]["flow stress"]
+                      ["initial yield"]["Y"]["value"])
+        hist = json.loads(Path("cal/opt_history.json").read_text())
+    finally:
+        os.chdir(cwd)
+
+    from cmad_tpu.io.exodus import read_mesh
+    n_elems = int(read_mesh(mesh_path).connectivity.shape[0])
+
+    out = {
+        "metric": "notch_J2_calibration_scale_wall_s",
+        "value": round(wall, 1),
+        "unit": "s",
+        "backend": backend,
+        "driver": "stepped (per-step adjoint)",
+        "n_elems": n_elems,
+        "primal_wall_s": round(primal_wall, 1),
+        "Y_true": Y_TRUE, "Y_start": Y_START, "Y_fit": round(Y_fit, 6),
+        "J0": hist["history"][0]["J"], "J_final": hist["history"][-1]["J"],
+        "n_evals": len(hist["history"]),
+        "reference_context": "reference forward solve ALONE is 2874 s "
+                             "at 47628 tets (scale_reference_47628."
+                             "json, CPU f64 direct); a multi-eval "
+                             "gradient calibration at this scale is "
+                             "out of its practical reach",
+    }
+    (HERE / f"calibrate_scale_{n_elems}_{backend}.json").write_text(
+        json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

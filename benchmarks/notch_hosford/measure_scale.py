@@ -42,6 +42,7 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
     import yaml
 
     backend = jax.default_backend()
+    extra_record: dict = {}
     workdir = Path(tempfile.mkdtemp(prefix="scale_ours_"))
     (workdir / "meshes").mkdir()
     shutil.copy(mesh_path, workdir / "meshes/notch.exo")
@@ -124,6 +125,7 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
             worst = max(e["final_residual"] for e in log)
             print(f"stepped: worst final residual {worst:.3e}",
                   file=sys.stderr)
+            extra_record["worst_final_residual"] = float(worst)
         else:
             trajectory = build_fe_quasistatic_trajectory(fe, **kwargs)
             params = params_by_block_from_models(fe)
@@ -165,6 +167,7 @@ def measure_ours(mesh_path: Path, driver: str = "scan",
         "n_elems": int(fe.mesh.connectivity.shape[0]),
         "n_dofs": int(fe.dof_map.num_total_dofs),
         "u_norm_final": float(np.linalg.norm(u_final)),
+        **extra_record,
     }
 
 

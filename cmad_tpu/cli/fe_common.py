@@ -180,16 +180,8 @@ def build_fe_J_of_params_flat(bundle: FEProblemBundle,
     for t in bundle.t_schedule[1:]:
         fe_problem.dof_map.evaluate_prescribed_values(dbc_arrays, float(t))
 
-    block_names = list(fe_problem.models_by_block)
-    inits, lengths = [], []
-    for b in block_names:
-        po = fe_problem.models_by_block[b].parameters
-        flat = po.flat_active_values(return_canonical=True)
-        inits.append(jnp.asarray(flat, dtype=dtype))
-        lengths.append(flat.shape[0])
-    params_flat_init = (jnp.concatenate(inits) if inits
-                        else jnp.zeros(0, dtype=dtype))
-    bounds = np.cumsum([0, *lengths])
+    params_flat_init, params_by_block_of_flat = fe_params_overlay(
+        fe_problem)
 
     trajectory = build_fe_quasistatic_trajectory(
         fe_problem,
@@ -208,17 +200,92 @@ def build_fe_J_of_params_flat(bundle: FEProblemBundle,
     qoi = bundle.qoi
 
     def J_of_params_flat(params_flat, state_init, fe_arrays):
-        params_by_block = {}
-        for i, b in enumerate(block_names):
-            po = fe_problem.models_by_block[b].parameters
-            params_by_block[b] = po.tree_with_flat_active(
-                params_flat[bounds[i]:bounds[i + 1]], canonical=True)
+        params_by_block = params_by_block_of_flat(params_flat)
         step = qoi.step_contribution(params_by_block, fe_arrays)
         _, _, J = trajectory(fe_arrays, params_by_block, state_init,
                              t_jax, qoi_step_contribution=step)
         return J
 
     return params_flat_init, state_init, J_of_params_flat
+
+
+def fe_params_overlay(fe_problem: FEProblem):
+    """(params_flat_init, params_by_block_of_flat): the canonical flat
+    active-parameter vector over all blocks and the traced overlay that
+    reconstructs the per-block parameter trees from it."""
+    dtype = config.real_dtype()
+    block_names = list(fe_problem.models_by_block)
+    inits, lengths = [], []
+    for b in block_names:
+        po = fe_problem.models_by_block[b].parameters
+        flat = po.flat_active_values(return_canonical=True)
+        inits.append(jnp.asarray(flat, dtype=dtype))
+        lengths.append(flat.shape[0])
+    params_flat_init = (jnp.concatenate(inits) if inits
+                        else jnp.zeros(0, dtype=dtype))
+    bounds = np.cumsum([0, *lengths])
+
+    def params_by_block_of_flat(params_flat):
+        params_by_block = {}
+        for i, b in enumerate(block_names):
+            po = fe_problem.models_by_block[b].parameters
+            params_by_block[b] = po.tree_with_flat_active(
+                params_flat[bounds[i]:bounds[i + 1]], canonical=True)
+        return params_by_block
+
+    return params_flat_init, params_by_block_of_flat
+
+
+def build_fe_stepped_vg(bundle: FEProblemBundle):
+    """(params_flat_init, state_init, t_schedule, vg) for the STEPPED
+    sensitivity path (``fem/stepped_adjoint.py``): per-step forward and
+    reverse dispatches instead of one fused traced trajectory — for
+    duration-limited device links at scales where the fused gradient
+    program outruns the per-execution ceiling. Selected by
+    ``residuals.global residual.driver: stepped`` on the gradient /
+    calibrate subcommands."""
+    from cmad_tpu.fem.stepped_adjoint import build_fe_stepped_value_and_grad
+
+    fe_problem = bundle.fe_problem
+    if bundle.qoi is None:
+        raise ValueError("bundle.qoi is required (non-primal subcommand)")
+    gr_section = bundle.resolved["residuals"]["global residual"]
+    for cap in ("max iters per dispatch", "steps per dispatch"):
+        if cap in gr_section:
+            raise ValueError(
+                f"residuals.global residual: '{cap}' applies to the "
+                "stepped PRIMAL drive only; the stepped sensitivity "
+                "path dispatches one fused Newton (+ its adjoint) per "
+                "time step and cannot be capped below that. Remove "
+                f"'{cap}' for gradient/calibrate decks.")
+    dtype = config.real_dtype()
+
+    state = FEState.from_problem(fe_problem,
+                                 t_init=float(bundle.t_schedule[0]))
+    state_init = (jnp.asarray(state.U_at(0), dtype=dtype),
+                  {b: jnp.asarray(state.xi_at(0, b))
+                   for b in fe_problem.models_by_block})
+
+    dbc_arrays = fe_problem.kernel_arrays.dbc_arrays
+    for t in bundle.t_schedule[1:]:
+        fe_problem.dof_map.evaluate_prescribed_values(dbc_arrays, float(t))
+
+    params_flat_init, params_by_block_of_flat = fe_params_overlay(
+        fe_problem)
+    vg = build_fe_stepped_value_and_grad(
+        fe_problem, params_by_block_of_flat, bundle.qoi,
+        nonlinear_solver_settings={
+            "max iters": int(gr_section["nonlinear max iters"]),
+            **dict(zip(
+                ("abs tol", "rel tol"),
+                config.clamp_newton_tols(
+                    float(gr_section["nonlinear absolute tol"]),
+                    float(gr_section["nonlinear relative tol"]),
+                    "fe_global"))),
+            "line search": gr_section.get("line search", {}),
+        },
+        linear_solver_settings=bundle.resolved["linear solver"])
+    return params_flat_init, state_init, bundle.t_schedule, vg
 
 
 # ----------------------------------------------------------------------

@@ -191,20 +191,43 @@ def _accumulate_qoi_over_history(bundle: FEProblemBundle, state,
 
 def run_objective_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "objective")
-    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
-    J = float(jit(J_of)(params_flat, state_init,
-                        bundle.fe_problem.kernel_arrays))
+    if _fe_driver(bundle) == "stepped":
+        from cmad_tpu.fem.driver import fe_quasistatic_drive_stepped
+
+        gr = bundle.resolved["residuals"]["global residual"]
+        state, _ = fe_quasistatic_drive_stepped(
+            bundle.fe_problem, bundle.t_schedule.tolist(),
+            nonlinear_solver_settings=_nls_settings(bundle),
+            linear_solver_settings=bundle.resolved["linear solver"],
+            max_iters_per_dispatch=gr.get("max iters per dispatch"),
+            steps_per_dispatch=gr.get("steps per dispatch"))
+        J = _accumulate_qoi_over_history(bundle, state, bundle.qoi)
+    else:
+        params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+        J = float(jit(J_of)(params_flat, state_init,
+                            bundle.fe_problem.kernel_arrays))
     out_dir, prefix, _fmt = resolve_output(bundle.resolved)
     write_resolved_deck(out_dir, prefix, bundle.resolved)
     write_J(out_dir, prefix, J)
     return 0
 
 
+def _fe_driver(bundle: FEProblemBundle) -> str:
+    return bundle.resolved["residuals"]["global residual"].get(
+        "driver", "scan")
+
+
 def run_gradient_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "gradient")
-    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
-    grad = np.asarray(jit(jax.grad(J_of, argnums=0))(
-        params_flat, state_init, bundle.fe_problem.kernel_arrays))
+    if _fe_driver(bundle) == "stepped":
+        from cmad_tpu.cli.fe_common import build_fe_stepped_vg
+
+        params_flat, state_init, ts, vg = build_fe_stepped_vg(bundle)
+        _, grad = vg(params_flat, state_init, ts)
+    else:
+        params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+        grad = np.asarray(jit(jax.grad(J_of, argnums=0))(
+            params_flat, state_init, bundle.fe_problem.kernel_arrays))
     out_dir, prefix, fmt = resolve_output(bundle.resolved)
     write_resolved_deck(out_dir, prefix, bundle.resolved)
     write_grad(out_dir, prefix, grad, fmt)
@@ -224,7 +247,14 @@ def run_hessian_fe(deck_path: Path) -> int:
 
 def run_calibrate_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "calibrate")
-    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+    stepped = _fe_driver(bundle) == "stepped"
+    if stepped:
+        from cmad_tpu.cli.fe_common import build_fe_stepped_vg
+
+        params_flat, state_init, ts, vg_stepped = build_fe_stepped_vg(
+            bundle)
+    else:
+        params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
     fe_problem = bundle.fe_problem
     models = fe_problem.models_by_block
     fe_arrays = fe_problem.kernel_arrays
@@ -239,7 +269,11 @@ def run_calibrate_fe(deck_path: Path) -> int:
                 x[offset:offset + n], are_canonical=True)
             offset += n
 
-    vg = jit(value_and_grad(J_of, argnums=0))
+    if stepped:
+        def vg(x, state_init, _fe_arrays):
+            return vg_stepped(x, state_init, ts)
+    else:
+        vg = jit(value_and_grad(J_of, argnums=0))
     history: list[dict[str, Any]] = []
 
     def fun(x):

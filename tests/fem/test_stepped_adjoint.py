@@ -1,0 +1,155 @@
+"""Stepped (per-step-dispatch) FE sensitivities match the fused scan.
+
+The stepped adjoint (``fem/stepped_adjoint.py``) computes J and
+dJ/dparams with one forward and one reverse device program per time
+step — the duration-bounded path for remote links — and must agree
+with the fully traced scan gradient (``cli/fe_common.py
+build_fe_J_of_params_flat``) to solver precision. Exercised through
+the CLI so the deck wiring (``driver: stepped`` on gradient /
+objective / calibrate) is covered too.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from cmad_tpu.cli.main import main as cmad_main
+from cmad_tpu.fem.mesh import StructuredHexMesh
+from cmad_tpu.io.exodus import ExodusWriter, read_results
+from cmad_tpu.io.results import FieldSpec
+from cmad_tpu.models.var_types import VarType
+
+
+@pytest.fixture
+def cube_exo(tmp_path):
+    mesh = StructuredHexMesh((1.0, 1.0, 1.0), (2, 2, 2))
+    path = tmp_path / "cube.exo"
+    w = ExodusWriter(path, mesh)
+    w.close()
+    return path
+
+
+def _plastic_deck(mesh_file, out_dir, Y=200.0, driver=None):
+    gr = {"type": "small_disp_equilibrium", "def_type": "full_3d"}
+    if driver is not None:
+        gr["driver"] = driver
+    return {
+        "problem": {"type": "fe", "name": "cube_fe"},
+        "discretization": {"mesh file": str(mesh_file),
+                           "num steps": 3, "step size": 1.0 / 3.0},
+        "residuals": {
+            "global residual": gr,
+            "local residual": {
+                "type": "small_elastic_plastic",
+                "materials": {"all": {
+                    "elastic": {"E": {"value": 200e3},
+                                "nu": {"value": 0.3}},
+                    "plastic": {
+                        "effective stress": {"J2": {}},
+                        "flow stress": {
+                            "initial yield": {"Y": {"value": Y}},
+                            "hardening": {"voce": {
+                                "S": {"value": 200.0},
+                                "D": {"value": 20.0}}}}}}}}},
+        "dirichlet bcs": {"expression": {
+            "pin_x": ["equilibrium", 0, "xmin_sides", "0.0"],
+            "pin_y": ["equilibrium", 1, "ymin_sides", "0.0"],
+            "pin_z": ["equilibrium", 2, "zmin_sides", "0.0"],
+            "ramp_x": ["equilibrium", 0, "xmax_sides", "0.004 * t"]}},
+        "output": {"path": str(out_dir)},
+    }
+
+
+def _write(tmp_path, deck, name):
+    path = tmp_path / name
+    path.write_text(yaml.safe_dump(deck))
+    return path
+
+
+@pytest.fixture
+def truth_data(tmp_path, cube_exo):
+    out_truth = tmp_path / "truth"
+    deck_path = _write(tmp_path, _plastic_deck(cube_exo, out_truth),
+                       "deck_truth.yaml")
+    assert cmad_main(["primal", str(deck_path)]) == 0
+    res = read_results(out_truth / "cube_fe.exo",
+                       nodal_field_specs=[FieldSpec("u", VarType.VECTOR)])
+    data = tmp_path / "u_data.npy"
+    np.save(data, res.nodal["u"])
+    return data
+
+
+def _sensitivity_deck(tmp_path, cube_exo, truth_data, out, driver):
+    """Offset ACTIVE plastic parameters + displacement-match QoI."""
+    deck = _plastic_deck(cube_exo, out, Y=230.0, driver=driver)
+    mat = deck["residuals"]["local residual"]["materials"]["all"]
+    fs = mat["plastic"]["flow stress"]
+    fs["initial yield"]["Y"]["active"] = True
+    fs["hardening"]["voce"]["S"]["active"] = True
+    # weight lifts the objective off the float noise floor (the raw
+    # displacement mismatch on the unit cube is O(1e-9)) so L-BFGS's
+    # default gradient tolerance doesn't declare victory at the start
+    deck["qoi"] = {"name": "fe_displacement_match",
+                   "data_file": str(truth_data),
+                   "weight": 1.0e8}
+    return deck
+
+
+def test_stepped_gradient_matches_scan(tmp_path, cube_exo, truth_data):
+    grads, Js = {}, {}
+    for driver in ("scan", "stepped"):
+        out = tmp_path / f"out_{driver}"
+        deck = _sensitivity_deck(tmp_path, cube_exo, truth_data, out,
+                                 driver)
+        deck_path = _write(tmp_path, deck, f"deck_{driver}.yaml")
+        assert cmad_main(["gradient", str(deck_path)]) == 0
+        grads[driver] = np.load(out / "grad.npy")
+        assert cmad_main(["objective", str(deck_path)]) == 0
+        Js[driver] = json.loads((out / "J.json").read_text())["J"]
+
+    assert grads["scan"].shape == grads["stepped"].shape == (2,)
+    assert np.linalg.norm(grads["scan"]) > 0.0
+    # same physics, same solves — agreement to solver/AD precision
+    assert np.allclose(grads["stepped"], grads["scan"], rtol=5e-5), \
+        (grads["stepped"], grads["scan"])
+    assert np.isclose(Js["stepped"], Js["scan"], rtol=5e-6), \
+        (Js["stepped"], Js["scan"])
+
+
+def test_stepped_calibrate_recovers_Y(tmp_path, cube_exo, truth_data):
+    out = tmp_path / "cal"
+    deck = _sensitivity_deck(tmp_path, cube_exo, truth_data, out,
+                             "stepped")
+    # calibrate only Y (S stays fixed at truth for identifiability on
+    # this tiny drive)
+    mat = deck["residuals"]["local residual"]["materials"]["all"]
+    mat["plastic"]["flow stress"]["hardening"]["voce"]["S"].pop("active")
+    deck["optimizer"] = {"algorithm": "L-BFGS-B",
+                         "options": {"maxiter": 12}}
+    deck_path = _write(tmp_path, deck, "deck_cal.yaml")
+    assert cmad_main(["calibrate", str(deck_path)]) == 0
+    opt = yaml.safe_load((out / "opt_params.yaml").read_text())
+    Y_fit = float(opt["all"]["plastic"]["flow stress"]["initial yield"]
+                  ["Y"]["value"])
+    hist = json.loads((out / "opt_history.json").read_text())
+    assert hist["history"][0]["J"] > 1e-4, \
+        "objective not lifted off the noise floor — weight wiring broke"
+    assert hist["history"][-1]["J"] < 1e-6 * hist["history"][0]["J"]
+    assert abs(Y_fit - 200.0) / 200.0 < 1e-3, Y_fit
+
+
+def test_stepped_vg_rejects_dispatch_caps(tmp_path, cube_exo,
+                                          truth_data):
+    """Per-dispatch caps are primal-only; the sensitivity path must
+    reject them actionably rather than silently ignore them."""
+    out = tmp_path / "capped"
+    deck = _sensitivity_deck(tmp_path, cube_exo, truth_data, out,
+                             "stepped")
+    deck["residuals"]["global residual"]["max iters per dispatch"] = 2
+    deck_path = _write(tmp_path, deck, "deck_capped.yaml")
+    with pytest.raises(ValueError, match="PRIMAL"):
+        cmad_main(["gradient", str(deck_path)])
