@@ -443,16 +443,13 @@ def _fe_newton_solve_ad(fe_problem, fe_arrays, params_by_block, U_prev,
         t, thaw_settings(nls_frozen), thaw_settings(lss_frozen))
 
 
-@_fe_newton_solve_ad.defjvp
-def _fe_newton_solve_ad_jvp(fe_problem, nls_frozen, lss_frozen, primals,
-                            tangents):
-    fe_arrays, params_by_block, U_prev, xi_prev_by_block, t = primals
-    p_dot = tangents[1:]
-    lss = thaw_settings(lss_frozen)
-
-    U_star, xi_star = _fe_newton_solve_ad(
-        fe_problem, fe_arrays, params_by_block, U_prev, xi_prev_by_block,
-        t, nls_frozen, lss_frozen)
+def _ift_tangents(fe_problem, fe_arrays, lss, U_star,
+                  params_by_block, U_prev, xi_prev_by_block, t, p_dot):
+    """IFT tangents of the converged FE Newton at ``U_star``:
+    differentiate the embedded residual at the fixed point, solve
+    K dU* = -dR, and push through the per-IP local solves for dxi*.
+    Shared by the solve-from-scratch rule and the stored-solution
+    pass-through (``_fe_solution_at_ad``)."""
     presc_idx = fe_arrays.prescribed_indices
 
     def r_of_p(params_, Up_, xp_, t_):
@@ -483,8 +480,63 @@ def _fe_newton_solve_ad_jvp(fe_problem, nls_frozen, lss_frozen, primals,
     _, xi_star_dot = jax.jvp(
         xi_of, (U_star, params_by_block, U_prev, xi_prev_by_block, t),
         (U_star_dot, *p_dot))
+    return U_star_dot, xi_star_dot
 
+
+@_fe_newton_solve_ad.defjvp
+def _fe_newton_solve_ad_jvp(fe_problem, nls_frozen, lss_frozen, primals,
+                            tangents):
+    fe_arrays, params_by_block, U_prev, xi_prev_by_block, t = primals
+    p_dot = tangents[1:]
+    lss = thaw_settings(lss_frozen)
+
+    U_star, xi_star = _fe_newton_solve_ad(
+        fe_problem, fe_arrays, params_by_block, U_prev, xi_prev_by_block,
+        t, nls_frozen, lss_frozen)
+    U_star_dot, xi_star_dot = _ift_tangents(
+        fe_problem, fe_arrays, lss, U_star, params_by_block, U_prev,
+        xi_prev_by_block, t, p_dot)
     return (U_star, xi_star), (U_star_dot, xi_star_dot)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 6, 7))
+def _fe_solution_at_ad(fe_problem, fe_arrays, params_by_block, U_prev,
+                       xi_prev_by_block, t, nls_frozen, lss_frozen,
+                       U_star):
+    """The converged FE Newton step AS IF solved, given its known
+    solution ``U_star``: the primal skips the Newton loop entirely
+    (one local-solve pass recovers xi* at U*), while differentiation
+    applies the SAME IFT rule as ``_fe_newton_solve_ad`` — so a
+    reverse pass over a stored trajectory costs ~one Newton iteration
+    (assembly + transpose solve) instead of a full re-solve. ``U_star``
+    is treated as data: its tangent is ignored (the IFT already
+    accounts for the solution's dependence on the inputs).
+
+    Used by the stepped adjoint (``fem/stepped_adjoint.py``); parity
+    with the re-solving path is asserted in
+    ``tests/fem/test_stepped_adjoint.py``."""
+    del nls_frozen, lss_frozen
+    _, _, xi_solved = assemble_global(
+        fe_problem, fe_arrays, params_by_block, U_star, U_prev, t,
+        xi_prev_by_block=xi_prev_by_block)
+    return U_star, xi_solved
+
+
+@_fe_solution_at_ad.defjvp
+def _fe_solution_at_ad_jvp(fe_problem, nls_frozen, lss_frozen, primals,
+                           tangents):
+    fe_arrays, params_by_block, U_prev, xi_prev_by_block, t, U_star = \
+        primals
+    p_dot = tangents[1:5]  # params, U_prev, xi_prev, t; U_star is data
+    lss = thaw_settings(lss_frozen)
+
+    U_out, xi_star = _fe_solution_at_ad(
+        fe_problem, fe_arrays, params_by_block, U_prev, xi_prev_by_block,
+        t, nls_frozen, lss_frozen, U_star)
+    U_star_dot, xi_star_dot = _ift_tangents(
+        fe_problem, fe_arrays, lss, U_star, params_by_block, U_prev,
+        xi_prev_by_block, t, p_dot)
+    return (U_out, xi_star), (U_star_dot, xi_star_dot)
 
 
 def fe_newton_solve_host(fe_problem: FEProblem,

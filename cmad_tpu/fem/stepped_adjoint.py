@@ -20,15 +20,20 @@ boundaries):
   step's converged ``(U_k, xi_k)`` — the checkpoint set is tiny
   (``n_steps x (n_dofs + n_elems*n_ips*n_xi)`` floats);
 - reverse sweep: one device program per time step — ``jax.vjp`` of the
-  step map at the stored inputs, which re-runs the step's Newton
-  (recompute-from-checkpoint) and transposes its IFT linearization
-  (adjoint solve against K^T via the registered linear-solve
-  transpose), accumulating the parameter cotangent on host and
-  propagating ``(dU_{k-1}, dxi_{k-1})`` backwards.
+  step map THROUGH THE STORED SOLUTION (``_fe_solution_at_ad``: the
+  converged ``U*_k`` is passed in as data, the Newton loop is skipped,
+  and differentiation applies the same IFT rule at ``U*_k``),
+  transposing the IFT linearization (adjoint solve against K^T via the
+  registered linear-solve transpose), accumulating the parameter
+  cotangent on host and propagating ``(dU_{k-1}, dxi_{k-1})``
+  backwards.
 
-Cost: one forward + one reverse program per step, the reverse ~2x a
-forward step (Newton recompute + transpose solves) — every dispatch
-bounded by the same ceiling as the uncapped stepped primal driver.
+Cost: one forward + one reverse program per step, the reverse ~one
+Newton ITERATION (one local-solve pass + one assembly linearization +
+one transpose solve) — every dispatch bounded well under the ceiling
+that the uncapped stepped primal driver already meets. Set
+``reuse_primal=False`` to re-solve Newton inside the reverse step
+instead (the belt-and-suspenders mode the parity test cross-checks).
 
 Gradient parity with the fused scan path is asserted in
 ``tests/fem/test_stepped_adjoint.py``.
@@ -47,6 +52,7 @@ from cmad_tpu.fem.fe_problem import FEProblem
 from cmad_tpu.fem.nonlinear_solver import (
     DEFAULT_LINEAR_SOLVER_SETTINGS,
     _fe_newton_solve_ad,
+    _fe_solution_at_ad,
     default_nonlinear_settings,
     freeze_settings,
 )
@@ -59,13 +65,16 @@ def build_fe_stepped_value_and_grad(
                                           Mapping[str, Params]],
         qoi,
         nonlinear_solver_settings: dict[str, Any] | None = None,
-        linear_solver_settings: dict[str, Any] | None = None):
+        linear_solver_settings: dict[str, Any] | None = None,
+        reuse_primal: bool = True):
     """Host-loop ``(J, dJ/dparams_flat)`` with per-step dispatches.
 
     ``params_by_block_of_flat`` maps the flat active-parameter vector to
     the per-block parameter trees inside the trace (the same overlay the
     scan path uses). ``qoi`` is an FEQoI (or None for a pure drive whose
-    gradient is zero — useful only for testing).
+    gradient is zero — useful only for testing). ``reuse_primal=True``
+    (default) differentiates through the STORED converged solution in
+    the reverse sweep (no Newton recompute); False re-solves.
 
     Returns ``value_and_grad(params_flat, state_init, t_schedule) ->
     (float J, np.ndarray grad)``. Each time step issues one forward and
@@ -94,11 +103,32 @@ def build_fe_stepped_value_and_grad(
 
     fwd = jax.jit(step_out)
 
+    def step_out_at(params_flat, U_prev, xi_prev, t, t_prev, fe_arrays,
+                    U_star):
+        """The same step map, evaluated THROUGH the stored solution:
+        Newton is skipped; the IFT rule differentiates at U_star."""
+        params_by_block = params_by_block_of_flat(params_flat)
+        U, xi_solved = _fe_solution_at_ad(
+            fe_problem, fe_arrays, params_by_block, U_prev, xi_prev, t,
+            nls_frozen, lss_frozen, U_star)
+        xi = {**xi_prev, **xi_solved}
+        if qoi is None:
+            j = jnp.zeros((), dtype=dtype)
+        else:
+            contrib = qoi.step_contribution(params_by_block, fe_arrays)
+            j = contrib(U, U_prev, xi, xi_prev, t, t_prev)
+        return U, xi, j
+
     def step_pullback(params_flat, U_prev, xi_prev, t, t_prev,
-                      fe_arrays, cot_U, cot_xi, cot_j):
-        _, pull = jax.vjp(
-            lambda p, U0, x0: step_out(p, U0, x0, t, t_prev, fe_arrays),
-            params_flat, U_prev, xi_prev)
+                      fe_arrays, U_star, cot_U, cot_xi, cot_j):
+        if reuse_primal:
+            def f(p, U0, x0):
+                return step_out_at(p, U0, x0, t, t_prev, fe_arrays,
+                                   U_star)
+        else:
+            def f(p, U0, x0):
+                return step_out(p, U0, x0, t, t_prev, fe_arrays)
+        _, pull = jax.vjp(f, params_flat, U_prev, xi_prev)
         dp, dU0, dx0 = pull((cot_U, cot_xi, cot_j))
         return dp, dU0, dx0
 
@@ -130,8 +160,8 @@ def build_fe_stepped_value_and_grad(
         for k in range(len(ts) - 1, 0, -1):
             U0, x0 = states[k - 1]
             dp, cot_U, cot_xi = bwd(params_flat, U0, x0, ts[k],
-                                    ts[k - 1], fe_arrays, cot_U, cot_xi,
-                                    one)
+                                    ts[k - 1], fe_arrays, states[k][0],
+                                    cot_U, cot_xi, one)
             grad = grad + dp
             _ = float(grad[0]) if grad.size else 0.0  # host sync per step
         return J, np.asarray(grad, dtype=np.float64)

@@ -115,3 +115,44 @@ def test_K_is_jacobian_of_R_plastic_coupled():
     J = np.asarray(jax.jacfwd(R_of_U)(U))
     scale = np.abs(J).max()
     np.testing.assert_allclose(K_dense, J, atol=1e-8 * scale)
+
+
+def test_K_matches_central_fd_plastic_coupled():
+    """AD-independent guard: the assembled tangent must match CENTRAL
+    FINITE DIFFERENCES of the assembled residual (reference parity:
+    ``tests/global_residuals/test_for_model_coupled.py
+    test_dR_dU_total_matches_central_fd``). K == jacfwd(R) above could
+    hide a bug shared by both AD paths; FD is independent of AD."""
+    model = _plastic_model()
+    fe = _problem(model, GlobalResidualMode.COUPLED)
+    params = params_by_block_from_models(fe)
+    arrays = fe.kernel_arrays
+    n = fe.dof_map.num_total_dofs
+    st = FEState.from_problem(fe)
+    xi_prev = {"all": jnp.asarray(st.xi_at(0, "all"))}
+
+    U = jnp.zeros(n)
+    x = np.asarray(fe.mesh.nodes[:, 0])
+    U = U.at[0::3].set(jnp.asarray(5e-3 * x))
+    U_prev = jnp.zeros(n)
+
+    K, _, xi_solved = assemble_global(fe, arrays, params, U, U_prev, 1.0,
+                                      xi_prev_by_block=xi_prev)
+    assert float(np.asarray(xi_solved["all"])[..., 6].max()) > 0.0
+    K_dense = np.asarray(K.todense())
+
+    R_of_U = jax.jit(lambda u: assemble_global_residual(
+        fe, arrays, params, u, U_prev, 1.0, xi_prev_by_block=xi_prev))
+
+    h = 1e-6  # f64: balances truncation vs roundoff at |U| ~ 5e-3
+    cols = []
+    rng = np.random.RandomState(3)
+    probe = rng.choice(n, size=min(12, n), replace=False)
+    for i in probe:
+        e = jnp.zeros(n).at[i].set(h)
+        cols.append((np.asarray(R_of_U(U + e))
+                     - np.asarray(R_of_U(U - e))) / (2 * h))
+    K_fd = np.stack(cols, axis=1)
+    scale = np.abs(K_dense).max()
+    np.testing.assert_allclose(K_dense[:, probe], K_fd,
+                               atol=5e-6 * scale)

@@ -153,3 +153,52 @@ def test_stepped_vg_rejects_dispatch_caps(tmp_path, cube_exo,
     deck_path = _write(tmp_path, deck, "deck_capped.yaml")
     with pytest.raises(ValueError, match="PRIMAL"):
         cmad_main(["gradient", str(deck_path)])
+
+
+def test_reuse_primal_matches_resolve(tmp_path, cube_exo, truth_data):
+    """The stored-solution reverse sweep (no Newton recompute,
+    `_fe_solution_at_ad`) must produce the same gradient as the
+    re-solving sweep — both are the same IFT transposition, evaluated
+    at the same converged state."""
+    from cmad_tpu.cli.fe_common import (
+        build_fe_problem_from_deck,
+        fe_params_overlay,
+    )
+    from cmad_tpu.fem.stepped_adjoint import (
+        build_fe_stepped_value_and_grad,
+    )
+    from cmad_tpu.fem.fe_problem import FEState
+    import jax.numpy as jnp
+
+    deck = _sensitivity_deck(tmp_path, cube_exo, truth_data,
+                             tmp_path / "out_lib", "stepped")
+    deck_path = _write(tmp_path, deck, "deck_lib.yaml")
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        bundle = build_fe_problem_from_deck(Path("deck_lib.yaml"),
+                                            "gradient")
+    finally:
+        os.chdir(cwd)
+    fe = bundle.fe_problem
+    params_flat, overlay = fe_params_overlay(fe)
+    st = FEState.from_problem(fe)
+    state_init = (jnp.asarray(st.U_at(0)),
+                  {b: jnp.asarray(st.xi_at(0, b))
+                   for b in fe.models_by_block})
+    for t in bundle.t_schedule[1:]:
+        fe.dof_map.evaluate_prescribed_values(
+            fe.kernel_arrays.dbc_arrays, float(t))
+
+    results = {}
+    for reuse in (True, False):
+        vg = build_fe_stepped_value_and_grad(
+            fe, overlay, bundle.qoi, reuse_primal=reuse)
+        results[reuse] = vg(params_flat, state_init, bundle.t_schedule)
+
+    J_fast, g_fast = results[True]
+    J_slow, g_slow = results[False]
+    assert np.isclose(J_fast, J_slow, rtol=1e-10), (J_fast, J_slow)
+    assert np.allclose(g_fast, g_slow, rtol=1e-6), (g_fast, g_slow)
+    assert np.linalg.norm(g_fast) > 0.0
