@@ -236,6 +236,13 @@ def run_gradient_fe(deck_path: Path) -> int:
 
 def run_hessian_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "hessian")
+    if _fe_driver(bundle) == "stepped":
+        raise ValueError(
+            "residuals.global residual: driver 'stepped' is not "
+            "available for the hessian subcommand — second derivatives "
+            "run through the fused scan trajectory only. Remove "
+            "'driver: stepped' (or compute gradients, which the "
+            "stepped path does support).")
     params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
     hess = np.asarray(jit(jax.hessian(J_of, argnums=0))(
         params_flat, state_init, bundle.fe_problem.kernel_arrays))

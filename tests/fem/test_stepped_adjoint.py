@@ -202,3 +202,16 @@ def test_reuse_primal_matches_resolve(tmp_path, cube_exo, truth_data):
     assert np.isclose(J_fast, J_slow, rtol=1e-10), (J_fast, J_slow)
     assert np.allclose(g_fast, g_slow, rtol=1e-6), (g_fast, g_slow)
     assert np.linalg.norm(g_fast) > 0.0
+
+
+def test_stepped_hessian_rejected_actionably(tmp_path, cube_exo,
+                                             truth_data):
+    """hessian has no stepped path; a deck asking for one must error
+    with guidance, not silently fall back to the fused scan."""
+    out = tmp_path / "hess"
+    deck = _sensitivity_deck(tmp_path, cube_exo, truth_data, out,
+                             "stepped")
+    deck["qoi"].pop("weight")  # keep the deck minimal
+    deck_path = _write(tmp_path, deck, "deck_hess.yaml")
+    with pytest.raises(ValueError, match="stepped"):
+        cmad_main(["hessian", str(deck_path)])
