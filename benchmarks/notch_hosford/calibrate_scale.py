@@ -122,6 +122,8 @@ def main() -> None:
         "unit": "s",
         "backend": backend,
         "driver": "stepped (per-step adjoint)",
+        "reverse_mode": "stored-solution (_fe_solution_at_ad; no "
+                        "Newton recompute in the reverse sweep)",
         "n_elems": n_elems,
         "primal_wall_s": round(primal_wall, 1),
         "Y_true": Y_TRUE, "Y_start": Y_START, "Y_fit": round(Y_fit, 6),
