@@ -584,9 +584,15 @@ def _worker_main() -> int:
     _publish(
         max_residual=max_res,
         residual_initial_scale=res_scale,
-        residual_note="residual of ONE SoA-kernel step in the model's "
-                      "stress-like residual units; the IFT-Newton path "
-                      "(1e-6 abs) is FD-verified in tests/ops/",
+        residual_note="residual of ONE SoA-kernel step, evaluated via "
+                      "the model's C in f32 — this number is the f32 "
+                      "EVALUATION floor of C itself, not solution "
+                      "error: C evaluated in f32 at the exact f64 "
+                      "solution shows the same magnitude, and the same "
+                      "step in f64 satisfies C to ~6e-16 (pinned by "
+                      "tests/ops/test_soa_radial_return.py::"
+                      "test_f32_step_residual_sits_on_the_evaluation_"
+                      "floor)",
         frac_plastic=frac_plastic)
 
     # ---------------- notch forward-solve wall ----------------

@@ -302,3 +302,73 @@ def test_history_drive_wide_layout_matches_soa8():
     out = _from_wide(out_w)[:, :N]
     assert float((np.asarray(ref)[6] > 0).any())
     assert float(jnp.abs(out - ref).max()) == 0.0
+
+
+def test_f32_step_residual_sits_on_the_evaluation_floor():
+    """The f32 SoA step's model-residual is DOMINATED by the f32
+    evaluation noise of C itself, not by solution error: evaluating C
+    in f32 at the exact f64-converged state shows the same magnitude.
+    (In f64 the same step satisfies C to ~6e-16 —
+    test_radial_return_matches_generic_newton.) This is the property
+    that makes bench.py's max_residual (~1e-2 at 4M points) a floor
+    statement, not a convergence failure."""
+    import jax
+
+    from cmad_tpu.models.global_fields import GlobalFieldsAtPoint
+    from cmad_tpu.models.small_rate_elastic_plastic import (
+        SmallRateElasticPlastic,
+    )
+    from cmad_tpu.ops.j2_radial_return import (
+        j2_voce_scalars,
+        strain_increment_soa,
+    )
+    from cmad_tpu.ops.j2_soa_ad import make_soa_step_ad
+
+    problem = J2AnalyticalProblem()
+    params = problem.J2_parameters
+    model = SmallRateElasticPlastic(params)
+    B = 4096
+    rng = np.random.RandomState(0)
+    eps = rng.normal(0.0, 1.5e-3, size=(B, 3, 3))
+    eps = 0.5 * (eps + np.transpose(eps, (0, 2, 1)))
+
+    def fields(g):
+        return GlobalFieldsAtPoint(
+            fields={"u": jnp.zeros((B, 3), dtype=g.dtype)},
+            grad_fields={"u": g})
+
+    def resid_norms(xi, gu, pv):
+        C = model.C_batched(xi, jnp.zeros_like(xi), pv, fields(gu),
+                            fields(jnp.zeros_like(gu)))
+        return np.asarray(jnp.linalg.norm(C, axis=-1))
+
+    # f64 truth step
+    gu64 = jnp.asarray(eps, jnp.float64)
+    pv64 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64),
+                        params.values)
+    de = strain_increment_soa(gu64, jnp.zeros_like(gu64))
+    sc = j2_voce_scalars(pv64, de.dtype)
+    xi64 = unpack_state_soa(make_soa_step_ad()(
+        pack_state_soa(jnp.zeros((B, 7), jnp.float64)), de, sc))
+    assert resid_norms(xi64, gu64, pv64).max() < 1e-12  # solved in f64
+
+    # f32 step from f32 inputs
+    gu32 = gu64.astype(jnp.float32)
+    pv32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                        params.values)
+    de32 = strain_increment_soa(gu32, jnp.zeros_like(gu32))
+    sc32 = j2_voce_scalars(pv32, de32.dtype)
+    xi32 = unpack_state_soa(make_soa_step_ad()(
+        pack_state_soa(jnp.zeros((B, 7), jnp.float32)), de32, sc32))
+    n_step = resid_norms(xi32, gu32, pv32)
+
+    # f32 EVALUATION floor: C evaluated in f32 at the f64 solution
+    n_floor = resid_norms(xi64.astype(jnp.float32), gu32, pv32)
+
+    assert n_floor.max() > 0.0
+    # the step's residual must sit on the evaluation floor (within 2x),
+    # i.e. carry no additional solution error visible above the noise
+    assert n_step.max() < 2.0 * n_floor.max(), \
+        (n_step.max(), n_floor.max())
+    assert n_step.mean() < 2.0 * n_floor.mean() + 1e-6, \
+        (n_step.mean(), n_floor.mean())
