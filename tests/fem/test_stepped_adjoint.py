@@ -215,3 +215,34 @@ def test_stepped_hessian_rejected_actionably(tmp_path, cube_exo,
     deck_path = _write(tmp_path, deck, "deck_hess.yaml")
     with pytest.raises(ValueError, match="stepped"):
         cmad_main(["hessian", str(deck_path)])
+
+
+def test_stepped_gradient_matches_scan_load_match(tmp_path, cube_exo):
+    """Same parity bar for the load-match QoI — the other FE QoI whose
+    step contribution itself depends on the parameters (it assembles
+    reactions, re-running local solves inside the QoI closure)."""
+    reaction_csv = tmp_path / "reaction.csv"
+    deck = _plastic_deck(cube_exo, tmp_path / "truth_lm")
+    deck["qoi"] = {"name": "fe_load_match", "sideset": "xmax_sides",
+                   "components": [0],
+                   "output_file": str(reaction_csv)}
+    assert cmad_main(["primal", str(_write(tmp_path, deck,
+                                           "deck_lm_truth.yaml"))]) == 0
+
+    grads = {}
+    for driver in ("scan", "stepped"):
+        out = tmp_path / f"lm_{driver}"
+        deck = _plastic_deck(cube_exo, out, Y=230.0, driver=driver)
+        mat = deck["residuals"]["local residual"]["materials"]["all"]
+        mat["plastic"]["flow stress"]["initial yield"]["Y"][
+            "active"] = True
+        deck["qoi"] = {"name": "fe_load_match", "sideset": "xmax_sides",
+                       "components": [0],
+                       "data_file": str(reaction_csv)}
+        deck_path = _write(tmp_path, deck, f"deck_lm_{driver}.yaml")
+        assert cmad_main(["gradient", str(deck_path)]) == 0
+        grads[driver] = np.load(out / "grad.npy")
+
+    assert np.linalg.norm(grads["scan"]) > 0.0
+    assert np.allclose(grads["stepped"], grads["scan"], rtol=5e-5), \
+        (grads["stepped"], grads["scan"])
