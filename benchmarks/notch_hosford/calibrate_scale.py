@@ -35,6 +35,19 @@ def main() -> None:
     ap.add_argument("--mesh", required=True, type=Path)
     ap.add_argument("--maxiter", type=int, default=12)
     ap.add_argument("--weight", type=float, default=1.0e6)
+    ap.add_argument("--params", default="y", choices=["y", "ysd"],
+                    help="'y': recover Y only; 'ysd': recover the full "
+                         "flow triple (Y, S, D) from offset starts")
+    ap.add_argument("--load", default=None,
+                    help="override the load_y expression (e.g. "
+                         "'0.025 * t'): the deck's 1%%-strain ramp "
+                         "leaves S and D identifiable only through "
+                         "their product S*D (Voce saturation barely "
+                         "sampled) — a deeper drive separates them")
+    ap.add_argument("--num-steps", type=int, default=None,
+                    help="override the deck's time-step count (same "
+                         "final load): more steps sample the hardening "
+                         "curve at more depths")
     args = ap.parse_args()
     mesh_path = args.mesh.resolve()
 
@@ -65,6 +78,12 @@ def main() -> None:
     for mat in mats.values():
         mat["plastic"]["effective stress"] = {"J2": {}}
     base["residuals"]["global residual"]["driver"] = "stepped"
+    if args.load is not None:
+        base["dirichlet bcs"]["expression"]["load_y"][3] = args.load
+    if args.num_steps is not None:
+        base["discretization"]["num steps"] = args.num_steps
+        base["discretization"]["step size"] = (
+            4.0 / args.num_steps)  # keep the same final load
     if backend == "tpu":
         base["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
                                  "max iters": 2000,
@@ -88,17 +107,26 @@ def main() -> None:
                                                         VarType.VECTOR)])
         np.save("u_data.npy", res.nodal["u"])
 
-        # 2) calibrate from Y_START through the stepped adjoint
+        # 2) calibrate from offset starts through the stepped adjoint
         deck = yaml.safe_load(yaml.safe_dump(base))
         mat = deck["residuals"]["local residual"]["materials"]["block_1"]
         mat["plastic"]["flow stress"]["initial yield"] = {
             "Y": {"value": Y_START, "active": True,
                   "transform": {"log": Y_TRUE}}}
+        if args.params == "ysd":
+            # truth (deck): S=10, D=2 — start 30-40% off
+            mat["plastic"]["flow stress"]["hardening"]["voce"] = {
+                "S": {"value": 13.0, "active": True,
+                      "transform": {"log": 10.0}},
+                "D": {"value": 1.3, "active": True,
+                      "transform": {"log": 2.0}}}
         deck["qoi"] = {"name": "fe_displacement_match",
                        "data_file": "u_data.npy",
                        "weight": args.weight}
         deck["optimizer"] = {"algorithm": "L-BFGS-B",
-                             "options": {"maxiter": args.maxiter}}
+                             "options": {"maxiter": args.maxiter,
+                                         "ftol": 1.0e-14,
+                                         "gtol": 1.0e-10}}
         deck["output"] = {"path": "cal", "write exodus": False}
         Path("deck_cal.yaml").write_text(yaml.safe_dump(deck))
 
@@ -107,8 +135,17 @@ def main() -> None:
         wall = time.perf_counter() - t0
 
         opt = yaml.safe_load(Path("cal/opt_params.yaml").read_text())
-        Y_fit = float(opt["block_1"]["plastic"]["flow stress"]
-                      ["initial yield"]["Y"]["value"])
+        fs = opt["block_1"]["plastic"]["flow stress"]
+        Y_fit = float(fs["initial yield"]["Y"]["value"])
+        fit_extra = {}
+        if args.params == "ysd":
+            fit_extra = {
+                "S_true": 10.0, "S_start": 13.0,
+                "S_fit": round(float(
+                    fs["hardening"]["voce"]["S"]["value"]), 6),
+                "D_true": 2.0, "D_start": 1.3,
+                "D_fit": round(float(
+                    fs["hardening"]["voce"]["D"]["value"]), 6)}
         hist = json.loads(Path("cal/opt_history.json").read_text())
     finally:
         os.chdir(cwd)
@@ -127,6 +164,7 @@ def main() -> None:
         "n_elems": n_elems,
         "primal_wall_s": round(primal_wall, 1),
         "Y_true": Y_TRUE, "Y_start": Y_START, "Y_fit": round(Y_fit, 6),
+        **fit_extra,
         "J0": hist["history"][0]["J"], "J_final": hist["history"][-1]["J"],
         "n_evals": len(hist["history"]),
         "reference_context": "reference forward solve ALONE is 2874 s "
@@ -135,7 +173,11 @@ def main() -> None:
                              "gradient calibration at this scale is "
                              "out of its practical reach",
     }
-    (HERE / f"calibrate_scale_{n_elems}_{backend}.json").write_text(
+    if args.load is not None:
+        out["load_y"] = args.load
+    tag = f"{n_elems}_{backend}" + ("" if args.params == "y"
+                                    else f"_{args.params}")
+    (HERE / f"calibrate_scale_{tag}.json").write_text(
         json.dumps(out, indent=2))
     print(json.dumps(out))
 
