@@ -246,3 +246,86 @@ def test_stepped_gradient_matches_scan_load_match(tmp_path, cube_exo):
     assert np.linalg.norm(grads["scan"]) > 0.0
     assert np.allclose(grads["stepped"], grads["scan"], rtol=5e-5), \
         (grads["stepped"], grads["scan"])
+
+
+def test_stepped_gradient_matches_scan_two_blocks(tmp_path):
+    """Multi-block coverage: per-block xi dicts flow through the
+    stepped reverse sweep's cotangents, and per-block active
+    parameters concatenate in the same order as the scan overlay."""
+    from cmad_tpu.fem.mesh import Mesh
+
+    base = StructuredHexMesh((1.0, 1.0, 1.0), (2, 2, 2))
+    centroids = base.nodes[base.connectivity].mean(axis=1)
+    mesh = Mesh(
+        nodes=base.nodes, connectivity=base.connectivity,
+        element_family=base.element_family,
+        element_blocks={
+            "soft": np.where(centroids[:, 0] < 0.5)[0].astype(np.intp),
+            "stiff": np.where(centroids[:, 0] >= 0.5)[0].astype(np.intp)},
+        node_sets=base.node_sets, side_sets=base.side_sets)
+    (tmp_path / "meshes").mkdir()
+    ExodusWriter(tmp_path / "meshes" / "two.exo", mesh).close()
+
+    def mat(Y):
+        return {"elastic": {"E": {"value": 200e3}, "nu": {"value": 0.3}},
+                "plastic": {
+                    "effective stress": {"J2": {}},
+                    "flow stress": {
+                        "initial yield": {"Y": {"value": Y}},
+                        "hardening": {"voce": {"S": {"value": 200.0},
+                                               "D": {"value": 20.0}}}}}}
+
+    def deck(out, Y_soft, Y_stiff, driver=None, qoi=False):
+        gr = {"type": "small_disp_equilibrium", "def_type": "full_3d"}
+        if driver:
+            gr["driver"] = driver
+        d = {"problem": {"type": "fe", "name": "two_fe"},
+             "discretization": {"mesh file": "meshes/two.exo",
+                                "num steps": 3, "step size": 1.0 / 3.0},
+             "residuals": {
+                 "global residual": gr,
+                 "local residual": {
+                     "type": "small_elastic_plastic",
+                     "materials": {"soft": mat(Y_soft),
+                                   "stiff": mat(Y_stiff)}}},
+             "dirichlet bcs": {"expression": {
+                 "pin_x": ["equilibrium", 0, "xmin_sides", "0.0"],
+                 "pin_y": ["equilibrium", 1, "ymin_sides", "0.0"],
+                 "pin_z": ["equilibrium", 2, "zmin_sides", "0.0"],
+                 "ramp_x": ["equilibrium", 0, "xmax_sides",
+                            "0.004 * t"]}},
+             "output": {"path": str(out)}}
+        if qoi:
+            for b in ("soft", "stiff"):
+                d["residuals"]["local residual"]["materials"][b][
+                    "plastic"]["flow stress"]["initial yield"]["Y"][
+                    "active"] = True
+            d["qoi"] = {"name": "fe_displacement_match",
+                        "data_file": "u_data.npy", "weight": 1.0e8}
+        return d
+
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        _write(tmp_path, deck("truth", 180.0, 220.0), "deck_t.yaml")
+        assert cmad_main(["primal", "deck_t.yaml"]) == 0
+        res = read_results(Path("truth/two_fe.exo"),
+                           nodal_field_specs=[FieldSpec("u",
+                                                        VarType.VECTOR)])
+        np.save("u_data.npy", res.nodal["u"])
+
+        grads = {}
+        for driver in ("scan", "stepped"):
+            _write(tmp_path,
+                   deck(f"o_{driver}", 200.0, 245.0, driver, qoi=True),
+                   f"deck_{driver}.yaml")
+            assert cmad_main(["gradient", f"deck_{driver}.yaml"]) == 0
+            grads[driver] = np.load(Path(f"o_{driver}") / "grad.npy")
+    finally:
+        os.chdir(cwd)
+
+    assert grads["scan"].shape == grads["stepped"].shape == (2,)
+    assert np.all(np.abs(grads["scan"]) > 0.0)  # both blocks sensitive
+    assert np.allclose(grads["stepped"], grads["scan"], rtol=5e-5), \
+        (grads["stepped"], grads["scan"])
