@@ -80,7 +80,15 @@ def _strain_dof_tensor(dtype) -> jnp.ndarray:
 
 
 def pointbatch_enabled() -> bool:
-    return os.environ.get("CMAD_FE_POINTBATCH", "1") != "0"
+    """``CMAD_FE_POINTBATCH=0`` disables this path specifically;
+    ``CMAD_FE_BLOCK_FASTPATH=0`` is the MASTER switch disabling every
+    block-level fast path (this one and fem/j2_block.py) so a single
+    env var falls assembly all the way back to the nested per-IP
+    vmaps when debugging."""
+    from cmad_tpu.fem.j2_block import fe_block_fastpath_enabled
+
+    return (fe_block_fastpath_enabled()
+            and os.environ.get("CMAD_FE_POINTBATCH", "1") != "0")
 
 
 def pointbatch_applicable(gr, model, mode, print_local_convergence) -> bool:

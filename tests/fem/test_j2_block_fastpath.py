@@ -210,3 +210,22 @@ def test_newton_solve_equivalence(monkeypatch, kind):
     np.testing.assert_allclose(np.asarray(xi_a["all"]),
                                np.asarray(xi_b["all"]),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_master_switch_disables_pointbatch_too(monkeypatch):
+    """CMAD_FE_BLOCK_FASTPATH=0 is the MASTER switch: with the J2 SoA
+    path off, the point-batch B-matrix path must NOT slot in behind it
+    (it has its own dial, CMAD_FE_POINTBATCH). Regression for the r3
+    gap where disabling the fast path silently swapped in the other
+    one, so 'disabled' assembly was never the generic nested-vmap
+    baseline."""
+    from cmad_tpu.fem.coupled_block import pointbatch_enabled
+    from cmad_tpu.fem.j2_block import fe_block_fastpath_enabled
+
+    monkeypatch.setenv("CMAD_FE_BLOCK_FASTPATH", "0")
+    assert not fe_block_fastpath_enabled()
+    assert not pointbatch_enabled()
+    monkeypatch.delenv("CMAD_FE_BLOCK_FASTPATH")
+    monkeypatch.setenv("CMAD_FE_POINTBATCH", "0")
+    assert fe_block_fastpath_enabled()
+    assert not pointbatch_enabled()
