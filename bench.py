@@ -95,11 +95,16 @@ def _orchestrate() -> int:
 
     base = dict(os.environ)
     attempts = []
-    if _tunnel_alive():
+    tpu_cap = min(430.0, budget - 130.0)
+    if _tunnel_alive() and tpu_cap > 0:
         # leave 130 s for the CPU fallback should the TPU worker die
         # before measuring anything (watchdog partials cover mid-run
         # stalls, so this only triggers on a wedged startup)
-        attempts.append(("tpu", base, min(430.0, budget - 130.0)))
+        attempts.append(("tpu", base, tpu_cap))
+    elif _tunnel_alive():
+        sys.stderr.write(
+            "bench.py: budget too small to attempt TPU (needs > 130 s "
+            "headroom); going straight to CPU\n")
     else:
         sys.stderr.write(
             "bench.py: TPU relay port 8082 closed — tunnel daemon dead; "

@@ -81,9 +81,12 @@ def main() -> None:
     if args.load is not None:
         base["dirichlet bcs"]["expression"]["load_y"][3] = args.load
     if args.num_steps is not None:
+        # keep the same final load: total time comes from the deck's own
+        # schedule, not a literal (the deck's num steps x step size)
+        total_t = (float(base["discretization"]["num steps"])
+                   * float(base["discretization"]["step size"]))
         base["discretization"]["num steps"] = args.num_steps
-        base["discretization"]["step size"] = (
-            4.0 / args.num_steps)  # keep the same final load
+        base["discretization"]["step size"] = total_t / args.num_steps
     if backend == "tpu":
         base["linear solver"] = {"type": "cg", "rtol": 1.0e-6,
                                  "max iters": 2000,

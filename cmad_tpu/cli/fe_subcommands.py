@@ -202,6 +202,18 @@ def run_objective_fe(deck_path: Path) -> int:
             max_iters_per_dispatch=gr.get("max iters per dispatch"),
             steps_per_dispatch=gr.get("steps per dispatch"))
         J = _accumulate_qoi_over_history(bundle, state, bundle.qoi)
+    elif _fe_driver(bundle) == "host":
+        # the objective VALUE is a primal drive + QoI accumulation, so
+        # the host driver serves it honestly (one dispatch per Newton
+        # iteration) instead of silently tracing the fused scan the
+        # user opted out of
+        from cmad_tpu.fem.nonlinear_solver import fe_quasistatic_drive_host
+
+        state, _ = fe_quasistatic_drive_host(
+            bundle.fe_problem, bundle.t_schedule.tolist(),
+            nonlinear_solver_settings=_nls_settings(bundle),
+            linear_solver_settings=bundle.resolved["linear solver"])
+        J = _accumulate_qoi_over_history(bundle, state, bundle.qoi)
     else:
         params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
         J = float(jit(J_of)(params_flat, state_init,
@@ -217,8 +229,27 @@ def _fe_driver(bundle: FEProblemBundle) -> str:
         "driver", "scan")
 
 
+def _require_sensitivity_driver(bundle: FEProblemBundle,
+                                subcommand: str) -> str:
+    """Sensitivity subcommands support the scan and stepped drivers
+    only; 'host' is primal-only (docs/DECKS.md) — silently tracing the
+    fused scan for a user who chose host to avoid fused programs on a
+    duration-limited link would be exactly the failure they opted out
+    of, so reject it loudly (mirrors the hessian+stepped rejection)."""
+    driver = _fe_driver(bundle)
+    if driver not in ("scan", "stepped"):
+        raise ValueError(
+            f"residuals.global residual: driver {driver!r} is not "
+            f"available for the {subcommand} subcommand — FE "
+            "sensitivities run through the fused scan trajectory "
+            "('scan', the default) or the per-step checkpointed "
+            "adjoint ('stepped'); the host driver is primal-only")
+    return driver
+
+
 def run_gradient_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "gradient")
+    _require_sensitivity_driver(bundle, "gradient")
     if _fe_driver(bundle) == "stepped":
         from cmad_tpu.cli.fe_common import build_fe_stepped_vg
 
@@ -254,6 +285,7 @@ def run_hessian_fe(deck_path: Path) -> int:
 
 def run_calibrate_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "calibrate")
+    _require_sensitivity_driver(bundle, "calibrate")
     stepped = _fe_driver(bundle) == "stepped"
     if stepped:
         from cmad_tpu.cli.fe_common import build_fe_stepped_vg

@@ -527,7 +527,13 @@ def _fe_solution_at_ad_jvp(fe_problem, nls_frozen, lss_frozen, primals,
                            tangents):
     fe_arrays, params_by_block, U_prev, xi_prev_by_block, t, U_star = \
         primals
-    p_dot = tangents[1:5]  # params, U_prev, xi_prev, t; U_star is data
+    # unpack by name so a signature change fails loudly instead of
+    # silently mis-slicing the tangent tuple: U_star is data (its
+    # tangent is dropped — the IFT already accounts for the solution's
+    # dependence on the inputs), fe_arrays is geometry
+    (_fe_arrays_dot, params_dot, U_prev_dot, xi_prev_dot, t_dot,
+     _U_star_dot) = tangents
+    p_dot = (params_dot, U_prev_dot, xi_prev_dot, t_dot)
     lss = thaw_settings(lss_frozen)
 
     U_out, xi_star = _fe_solution_at_ad(

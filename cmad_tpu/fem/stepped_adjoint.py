@@ -66,7 +66,8 @@ def build_fe_stepped_value_and_grad(
         qoi,
         nonlinear_solver_settings: dict[str, Any] | None = None,
         linear_solver_settings: dict[str, Any] | None = None,
-        reuse_primal: bool = True):
+        reuse_primal: bool = True,
+        checkpoint_offload: bool = False):
     """Host-loop ``(J, dJ/dparams_flat)`` with per-step dispatches.
 
     ``params_by_block_of_flat`` maps the flat active-parameter vector to
@@ -75,6 +76,17 @@ def build_fe_stepped_value_and_grad(
     gradient is zero — useful only for testing). ``reuse_primal=True``
     (default) differentiates through the STORED converged solution in
     the reverse sweep (no Newton recompute); False re-solves.
+
+    **Checkpoint memory bound**: the forward sweep stores every step's
+    converged ``(U_k, xi_k)``, so HBM holds
+    ``n_steps x (n_dofs + n_elems * n_ips * n_xi)`` floats on top of
+    the working set — at 100k tets (1 IP, 7-component xi, ~60k dofs,
+    f32) that is ~3 MB/step, i.e. ~1000 steps per GB. When
+    ``n_steps x state`` approaches HBM, set ``checkpoint_offload=True``
+    to keep each checkpoint on HOST between the sweeps (one
+    device_get after each forward step, one upload per reverse step —
+    trades a 2x state transfer per step for an O(1)-in-steps device
+    footprint).
 
     Returns ``value_and_grad(params_flat, state_init, t_schedule) ->
     (float J, np.ndarray grad)``. Each time step issues one forward and
@@ -143,24 +155,43 @@ def build_fe_stepped_value_and_grad(
         U_prev = jnp.asarray(U_prev, dtype=dtype)
         xi_prev = {k: jnp.asarray(v) for k, v in xi_prev.items()}
 
-        # forward sweep with step-boundary checkpoints
-        states = [(U_prev, xi_prev)]
+        # forward sweep with step-boundary checkpoints (optionally
+        # host-offloaded so the device footprint stays O(1) in steps)
+        def _store(U, xi):
+            if checkpoint_offload:
+                return (np.asarray(U),
+                        {b: np.asarray(v) for b, v in xi.items()})
+            return (U, xi)
+
+        def _load(ckpt):
+            U, xi = ckpt
+            if checkpoint_offload:
+                return (jnp.asarray(U),
+                        {b: jnp.asarray(v) for b, v in xi.items()})
+            return (U, xi)
+
+        states = [_store(U_prev, xi_prev)]
         J = 0.0
         for k in range(1, len(ts)):
             U_prev, xi_prev, j = fwd(params_flat, U_prev, xi_prev,
                                      ts[k], ts[k - 1], fe_arrays)
             J += float(j)  # host sync: bounds this dispatch's lifetime
-            states.append((U_prev, xi_prev))
+            # with offload the LIST keeps host copies only; the live
+            # (U_prev, xi_prev) device buffers are freed as soon as the
+            # next step's outputs replace them
+            states.append(_store(U_prev, xi_prev))
 
         # reverse sweep
         grad = jnp.zeros_like(params_flat)
-        cot_U = jnp.zeros_like(states[-1][0])
-        cot_xi = jax.tree.map(jnp.zeros_like, states[-1][1])
+        U_last, xi_last = _load(states[-1])
+        cot_U = jnp.zeros_like(U_last)
+        cot_xi = jax.tree.map(jnp.zeros_like, xi_last)
         one = jnp.ones((), dtype=dtype)
         for k in range(len(ts) - 1, 0, -1):
-            U0, x0 = states[k - 1]
+            U0, x0 = _load(states[k - 1])
+            U_star_k, _ = _load(states[k])
             dp, cot_U, cot_xi = bwd(params_flat, U0, x0, ts[k],
-                                    ts[k - 1], fe_arrays, states[k][0],
+                                    ts[k - 1], fe_arrays, U_star_k,
                                     cot_U, cot_xi, one)
             grad = grad + dp
             _ = float(grad[0]) if grad.size else 0.0  # host sync per step

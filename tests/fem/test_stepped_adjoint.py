@@ -203,6 +203,32 @@ def test_reuse_primal_matches_resolve(tmp_path, cube_exo, truth_data):
     assert np.allclose(g_fast, g_slow, rtol=1e-6), (g_fast, g_slow)
     assert np.linalg.norm(g_fast) > 0.0
 
+    # host-offloaded checkpoints (device footprint O(1) in steps) must
+    # be bit-identical math: same programs, same inputs, only the
+    # checkpoint residency differs
+    vg_off = build_fe_stepped_value_and_grad(
+        fe, overlay, bundle.qoi, checkpoint_offload=True)
+    J_off, g_off = vg_off(params_flat, state_init, bundle.t_schedule)
+    assert np.isclose(J_off, J_fast, rtol=1e-12), (J_off, J_fast)
+    np.testing.assert_allclose(g_off, g_fast, rtol=1e-10)
+
+
+def test_host_driver_rejected_for_sensitivities(tmp_path, cube_exo,
+                                                truth_data):
+    """driver: host is primal-only; gradient/calibrate decks naming it
+    must error actionably instead of silently tracing the fused scan
+    the user opted out of."""
+    out = tmp_path / "host_rej"
+    deck = _sensitivity_deck(tmp_path, cube_exo, truth_data, out, "host")
+    deck_path = _write(tmp_path, deck, "deck_host_grad.yaml")
+    with pytest.raises(ValueError, match="primal-only"):
+        cmad_main(["gradient", str(deck_path)])
+    deck["optimizer"] = {"algorithm": "L-BFGS-B",
+                         "options": {"maxiter": 2}}
+    deck_path = _write(tmp_path, deck, "deck_host_cal.yaml")
+    with pytest.raises(ValueError, match="primal-only"):
+        cmad_main(["calibrate", str(deck_path)])
+
 
 def test_stepped_hessian_rejected_actionably(tmp_path, cube_exo,
                                              truth_data):
