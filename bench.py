@@ -526,19 +526,24 @@ def _worker_main() -> int:
                  mixed_regime_frac_plastic=frac_mixed)
 
     # ---------------- FE COUPLED dispatch ----------------
-    # (fem/j2_block.py fast path): AoS state -> pack -> differentiable
-    # SoA kernel -> unpack to the AoS carry. Chained through the
-    # pack/unpack boundary each step — conservative for the FE Newton
-    # loop, where the pack is loop-invariant.
+    # (fem/j2_block.py fast path): since round 5 the FE drivers keep
+    # the per-IP state CARRIER-resident (component-major (8, N),
+    # fem/xi_carrier.py) across the whole drive — packed once at
+    # trajectory entry, consumed/produced by every Newton iteration and
+    # time step with zero relayouts, unpacked once where the history
+    # materializes. This stage times exactly that boundary: one pack,
+    # `inner` chained differentiable SoA-kernel steps, one unpack.
+    # The r4 shape of this stage (pack+unpack per step) measured the
+    # OLD boundary at 2.30 G updates/s vs 10.37 G for the pure kernel.
     _enter("fe-dispatch")
     step_ad = make_soa_step_ad()
 
     @jax.jit
     def fe_chain(xi_a, de, sc):
+        xi_c = pack_state_soa(xi_a)       # trajectory-entry pack
         for _ in range(inner):
-            xi_a = unpack_state_soa(step_ad(pack_state_soa(xi_a), de,
-                                            sc))
-        return xi_a
+            xi_c = step_ad(xi_c, de, sc)  # carrier-resident steps
+        return unpack_state_soa(xi_c)     # history materialization
 
     def timed_chain(run, state0, *args):
         out = run(state0, *args)
@@ -558,9 +563,12 @@ def _worker_main() -> int:
     _publish(
         fe_dispatch_updates_per_sec=round(ups_fe, 1),
         fe_dispatch_vs_baseline=_vs(ups_fe),
-        fe_dispatch_note="fem/j2_block.py COUPLED fast path boundary: "
-                         "AoS (N,7) pack -> differentiable SoA kernel "
-                         "-> AoS unpack, chained per step")
+        fe_dispatch_note="fem/j2_block.py COUPLED fast path boundary "
+                         "as the drivers now dispatch it: ONE AoS->SoA "
+                         "pack at trajectory entry, carrier-resident "
+                         "differentiable SoA kernel steps "
+                         "(fem/xi_carrier.py), ONE unpack at history "
+                         "materialization")
 
     # ---------------- residual sanity check ----------------
     # one SoA kernel step from the zero state, checked against the

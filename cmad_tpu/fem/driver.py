@@ -45,11 +45,24 @@ def build_fe_quasistatic_trajectory(
     print_steps = nls["print convergence"]
     nls_frozen, lss_frozen = freeze_settings(nls), freeze_settings(lss)
 
+    from cmad_tpu.fem.xi_carrier import (
+        pack_xi_by_block,
+        unpack_xi_steps_by_block,
+    )
+
     def trajectory(fe_arrays: FEKernelArrays,
                    params_by_block: Mapping[str, Params],
                    state_init: StateInit, t_schedule: JaxArray,
                    qoi_step_contribution=None):
         U_init, xi_init_by_block = state_init
+        # carrier-resident state (fem/xi_carrier.py): pack opted-in
+        # blocks to the component-major kernel layout ONCE here; every
+        # scan step then consumes and produces it with zero relayouts
+        # (measured r4: the per-step pack/unpack boundary cost 4.5x the
+        # return-map kernel). The stacked history is unpacked back to
+        # the public AoS layout after the scan, one fused relayout per
+        # block per trajectory.
+        xi_init_by_block = pack_xi_by_block(fe_problem, xi_init_by_block)
 
         def step_fn(carry, inputs):
             step_idx, t = inputs
@@ -71,7 +84,7 @@ def build_fe_quasistatic_trajectory(
         carry0 = (U_init, xi_init_by_block, t_schedule[0], jnp.zeros(()))
         (_, _, _, J), (U_steps, xi_steps) = lax.scan(
             step_fn, carry0, (jnp.arange(n_steps), t_schedule[1:]))
-        return U_steps, xi_steps, J
+        return U_steps, unpack_xi_steps_by_block(fe_problem, xi_steps), J
 
     return trajectory
 
@@ -230,6 +243,11 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
         r = _embedded_residual(R, K_bcoo, U, presc_idx, pv, K_ii)
         return jnp.linalg.norm(r)
 
+    from cmad_tpu.fem.xi_carrier import (
+        pack_xi_by_block,
+        unpack_xi_by_block,
+    )
+
     @jit
     def step(params_by_block, U_prev, xi_prev, t):
         U, xi_solved = _fe_newton_solve_ad(
@@ -238,7 +256,10 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
         xi = {**xi_prev, **xi_solved}
         norm = residual_norm(params_by_block, U, U_prev, xi_prev, t)
         norm0 = residual_norm(params_by_block, U_prev, U_prev, xi_prev, t)
-        return U, xi, norm, norm0
+        # the AoS view for FEState materialization rides in the SAME
+        # dispatch (one extra transpose) so the carrier-resident carry
+        # costs no additional host round-trip per step
+        return U, xi, unpack_xi_by_block(fe_problem, xi), norm, norm0
 
     if max_iters_per_dispatch is not None and steps_per_dispatch is not None:
         raise ValueError(
@@ -253,11 +274,17 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
             raise ValueError(
                 f"max_iters_per_dispatch must be >= 1; got {K}")
 
+        from cmad_tpu.fem.xi_carrier import (
+            unpack_xi_by_block as _unpack_chunk,
+        )
+
         @jit
         def chunk(params_by_block, U_prev, xi_prev, t, U_start, R0_in):
-            return _fe_newton_chunk(
+            U_c, xi_c, norm_c, R0_c = _fe_newton_chunk(
                 fe_problem, fe_arrays, params_by_block, U_prev, xi_prev,
                 t, nls, lss, U_start, R0_in, K)
+            return U_c, xi_c, _unpack_chunk(fe_problem, xi_c), norm_c, \
+                R0_c
 
     if steps_per_dispatch is not None:
         W = int(steps_per_dispatch)
@@ -269,7 +296,9 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
         def window(params_by_block, U0, xi0, ts):
             """ts: (w,) step times — w static per specialization; one
             program per distinct window length (at most two: the full W
-            and one remainder)."""
+            and one remainder). The scan carry holds the carrier
+            layout; the emitted history is unpacked to AoS inside the
+            same program."""
 
             def body(carry, t):
                 U_prev, xi_prev = carry
@@ -281,34 +310,40 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
                                      t)
                 norm0 = residual_norm(params_by_block, U_prev, U_prev,
                                       xi_prev, t)
-                return (U, xi), (U, xi, norm, norm0)
+                return (U, xi), (U, unpack_xi_by_block(fe_problem, xi),
+                                 norm, norm0)
 
-            (_, _), (U_s, xi_s, norms, norms0) = lax.scan(
+            (U_fin, xi_fin), (U_s, xi_s, norms, norms0) = lax.scan(
                 body, (U0, xi0), ts)
-            return U_s, xi_s, norms, norms0
+            return U_fin, xi_fin, U_s, xi_s, norms, norms0
 
     dtype = config.real_dtype()
     abs_tol, rel_tol = float(nls["abs tol"]), float(nls["rel tol"])
     max_total = int(nls["max iters"])
 
     def solve_step(U_prev, xi_prev, t):
-        """One time step -> (U, xi, final ||r||, initial ||r||); one
-        dispatch, or ceil(iters/K) chunked dispatches."""
+        """One time step -> (U, xi carrier-layout carry, xi AoS view,
+        final ||r||, initial ||r||); one dispatch, or ceil(iters/K)
+        chunked dispatches."""
         if max_iters_per_dispatch is None:
-            U, xi, norm_j, norm0_j = step(params, U_prev, xi_prev, t)
-            return U, xi, float(norm_j), float(norm0_j)
+            U, xi, xi_aos, norm_j, norm0_j = step(params, U_prev,
+                                                  xi_prev, t)
+            return U, xi, xi_aos, float(norm_j), float(norm0_j)
         U_start = U_prev
         R0_in = jnp.asarray(-1.0, dtype)
         xi_solved = xi_prev
+        xi_aos = None
         norm = float("inf")
         for _ in range((max_total + K - 1) // K):
-            U_start, xi_solved, norm_j, R0_j = chunk(
+            U_start, xi_solved, xi_aos, norm_j, R0_j = chunk(
                 params, U_prev, xi_prev, t, U_start, R0_in)
             R0_in = R0_j
             norm = float(norm_j)  # host sync per chunk
             if norm < abs_tol or norm < rel_tol * float(R0_j):
                 break
-        return (U_start, {**xi_prev, **xi_solved}, norm, float(R0_in))
+        return (U_start, {**xi_prev, **xi_solved},
+                unpack_xi_by_block(fe_problem, {**xi_prev, **xi_aos}),
+                norm, float(R0_in))
 
     def _check_step(i, t, norm, norm0):
         if (norm >= 100.0 * float(nls["abs tol"])
@@ -322,8 +357,12 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
                 RuntimeWarning, stacklevel=3)
 
     U = jnp.asarray(state.U_at(0), dtype=dtype)
-    xi = {b: jnp.asarray(state.xi_at(0, b))
-          for b in fe_problem.models_by_block}
+    # carrier-resident carry (fem/xi_carrier.py): packed ONCE here;
+    # every step dispatch consumes/produces the component-major layout
+    # and emits the AoS view for FEState in the same program
+    xi = pack_xi_by_block(
+        fe_problem, {b: jnp.asarray(state.xi_at(0, b))
+                     for b in fe_problem.models_by_block})
     log: list[dict[str, float]] = []
     times = [float(x) for x in t_schedule[1:]]
 
@@ -331,9 +370,7 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
         step_no = 0
         for lo in range(0, len(times), W):
             ts = jnp.asarray(times[lo:lo + W], dtype=dtype)
-            U_s, xi_s, norms, norms0 = window(params, U, xi, ts)
-            U = U_s[-1]
-            xi = {b: xi_s[b][-1] for b in xi_s}
+            U, xi, U_s, xi_s, norms, norms0 = window(params, U, xi, ts)
             norms_h, norms0_h = np.asarray(norms), np.asarray(norms0)
             for j, t in enumerate(times[lo:lo + W]):
                 step_no += 1
@@ -347,10 +384,10 @@ def fe_quasistatic_drive_stepped(fe_problem: FEProblem,
         return state, log
 
     for i, t in enumerate(times, start=1):
-        U, xi, norm, norm0 = solve_step(U, xi,
-                                        jnp.asarray(t, dtype=dtype))
+        U, xi, xi_aos, norm, norm0 = solve_step(
+            U, xi, jnp.asarray(t, dtype=dtype))
         state.append(np.asarray(U), {b: np.asarray(v)
-                                     for b, v in xi.items()}, t_new=t)
+                                     for b, v in xi_aos.items()}, t_new=t)
         log.append({"final_residual": norm, "initial_residual": norm0})
         _check_step(i, t, norm, norm0)
     return state, log

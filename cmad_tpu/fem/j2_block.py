@@ -105,6 +105,12 @@ def make_j2_block_kernels(model) -> dict:
                * geom["per_elem"]["iso_jac_det"])      # (E, Q)
         E, Q = wdv.shape
         n = E * Q
+        # CARRIER layout (fem/xi_carrier.py): xi_prev may arrive
+        # component-major (8, E*Q) — the trajectory-resident layout —
+        # in which case the rate form feeds the kernel with ZERO
+        # relayout (the kernel's own state block) and the output is
+        # returned component-major for the next step to consume as-is
+        carrier = xi_prev.ndim == 2
 
         # component-major strain rows: (3, 3, E, Q), the batch on the
         # trailing (lane) axes. Rate form: the strain INCREMENT from
@@ -120,14 +126,14 @@ def make_j2_block_kernels(model) -> dict:
 
         if kind == "rate":
             # stress IS the state: rows go in as-is
-            xi_soa = jnp.concatenate(
+            xi_soa = xi_prev if carrier else jnp.concatenate(
                 [xi_prev.reshape(n, 7).T,
                  jnp.zeros((1, n), dtype=xi_prev.dtype)])
         else:
             # virtual previous stress -C : p_prev, so the kernel's
             # trial  xi + C : de  equals  C : (eps - p_prev)
             mu, lam = scalars[0], scalars[1]
-            p = xi_prev.reshape(n, 7).T
+            p = xi_prev if carrier else xi_prev.reshape(n, 7).T
             ltrp = lam * (p[0] + p[3] + p[5])
             two_mu = 2.0 * mu
             xi_soa = jnp.stack([
@@ -136,7 +142,7 @@ def make_j2_block_kernels(model) -> dict:
                 -two_mu * p[4], -(ltrp + two_mu * p[5]),
                 p[6], jnp.zeros_like(p[0])])
         out = step(xi_soa, de_soa, scalars).reshape(8, E, Q)
-        return out, scalars, gradN, wdv, de_soa.reshape(8, E, Q)
+        return out, scalars, gradN, wdv, de_soa.reshape(8, E, Q), carrier
 
     def _residual(out, gradN, wdv, forcing_fn, geom, t):
         sigma = _sigma_cm(tuple(out[r] for r in range(6)))  # (3,3,E,Q)
@@ -149,8 +155,13 @@ def make_j2_block_kernels(model) -> dict:
             R = R - jnp.einsum("qa,eqi,eq->eai", N0, fvals, wdv)
         return R
 
-    def _xi_aos(out, eps_rows, scalars):
+    def _xi_out(out, eps_rows, scalars, carrier):
+        """Updated state in the INPUT's layout: carrier (8, E*Q) rows
+        (row 7 zero) or AoS (E, Q, 7)."""
+        E, Q = out.shape[1], out.shape[2]
         if kind == "rate":
+            if carrier:
+                return out.reshape(8, E * Q)   # free: kernel layout
             return jnp.moveaxis(out[:7], 0, -1)             # (E, Q, 7)
         # total form: p_new = eps - C^{-1} : sigma_new (elastic
         # compliance on sym-vec rows), alpha_new from the kernel
@@ -167,15 +178,21 @@ def make_j2_block_kernels(model) -> dict:
             eps_rows[5] - (out[5] - lam_tr_e) * inv_two_mu,
             out[6],
         ]
+        if carrier:
+            return jnp.stack(
+                p_rows + [jnp.zeros_like(p_rows[0])]).reshape(8, E * Q)
         return jnp.moveaxis(jnp.stack(p_rows), 0, -1)       # (E, Q, 7)
 
     def block_r_and_k_and_xi(params, U_e, Up_e, geom, forcing_fn, t,
                              xi_prev):
-        out, scalars, gradN, wdv, eps_rows = _solve(params, U_e, Up_e,
-                                                    geom, xi_prev)
+        out, scalars, gradN, wdv, eps_rows, carrier = _solve(
+            params, U_e, Up_e, geom, xi_prev)
+        E, Q = wdv.shape
+        alpha_prev = (xi_prev[6].reshape(E, Q) if carrier
+                      else xi_prev[..., 6])
         R = _residual(out, gradN, wdv, forcing_fn, geom, t)
 
-        A, c, d_rows = consistent_tangent_rows(out, xi_prev[..., 6],
+        A, c, d_rows = consistent_tangent_rows(out, alpha_prev,
                                                scalars)
         mu, lam = scalars[0], scalars[1]
         kappa = lam + 2.0 * mu / 3.0
@@ -191,15 +208,20 @@ def make_j2_block_kernels(model) -> dict:
                           jnp.einsum("eq,eqaj,eqbj->eab", C2, gradN,
                                      gradN), eye)
              - jnp.einsum("eq,eqai,eqbk->eaibk", C3, v, v))
-        return R, K, _xi_aos(out, eps_rows, scalars)
+        return R, K, _xi_out(out, eps_rows, scalars, carrier)
 
     def block_r(params, U_e, Up_e, geom, forcing_fn, t, xi_prev):
-        out, _scalars, gradN, wdv, _eps = _solve(params, U_e, Up_e,
-                                                 geom, xi_prev)
+        out, _scalars, gradN, wdv, _eps, _carrier = _solve(
+            params, U_e, Up_e, geom, xi_prev)
         return _residual(out, gradN, wdv, forcing_fn, geom, t)
 
     # not jitted here: ``forcing_fn`` is a Python callable argument, and
     # every consumer (assembly inside the jitted solvers/drivers) traces
-    # these bodies into an enclosing jit anyway
+    # these bodies into an enclosing jit anyway.
+    # "xi_carrier": the drivers may keep this block's state
+    # component-major (8, E*Q) across the whole drive
+    # (fem/xi_carrier.py) — both evaluators accept either layout and
+    # return the one they were given.
     return {"block_R_and_K_and_xi": block_r_and_k_and_xi,
-            "block_R": block_r}
+            "block_R": block_r,
+            "xi_carrier": True}

@@ -746,6 +746,10 @@ def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
     seed a restart from a recorded converged state."""
     from cmad_tpu.fem.assembly import params_by_block_from_models
     from cmad_tpu.fem.fe_problem import FEState
+    from cmad_tpu.fem.xi_carrier import (
+        pack_xi_by_block,
+        unpack_xi_by_block,
+    )
 
     params = params_by_block_from_models(fe_problem)
     state = FEState.from_problem(fe_problem, t_init=float(t_schedule[0]),
@@ -753,8 +757,12 @@ def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
                                  else np.asarray(U_init),
                                  xi_init_by_block=xi_init_by_block)
     U = jnp.asarray(state.U_at(0), dtype=config.real_dtype())
-    xi = {b: jnp.asarray(state.xi_at(0, b))
-          for b in fe_problem.models_by_block}
+    # carrier-resident state across the whole drive (fem/xi_carrier.py):
+    # packed once; each step's materialized AoS view costs one small
+    # unpack dispatch against the host loop's ~5-10 dispatches per step
+    xi = pack_xi_by_block(
+        fe_problem, {b: jnp.asarray(state.xi_at(0, b))
+                     for b in fe_problem.models_by_block})
     cache: dict = {}
     log = []
     for t in [float(x) for x in t_schedule[1:]]:
@@ -764,8 +772,9 @@ def fe_quasistatic_drive_host(fe_problem: FEProblem, t_schedule,
             linear_solver_settings=linear_solver_settings,
             _jit_cache=cache)
         xi = {**xi, **xi_solved}
-        state.append(np.asarray(U), {b: np.asarray(v)
-                                     for b, v in xi.items()}, t_new=t)
+        state.append(np.asarray(U),
+                     {b: np.asarray(v) for b, v in unpack_xi_by_block(
+                         fe_problem, xi).items()}, t_new=t)
         log.append({"iters": int(iters), "final_residual": float(res),
                     "worst_linear_rel_residual": worst_linear})
     return state, log
