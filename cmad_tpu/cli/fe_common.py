@@ -154,6 +154,48 @@ def build_fe_problem_from_deck(deck_path: Path,
                            t_schedule=t_schedule, qoi=qoi)
 
 
+def build_fe_cases(bundle: FEProblemBundle):
+    """``[(name, weight, t_schedule, qoi)]`` — one entry per ``load
+    cases`` deck entry, or the single base case when the section is
+    absent.
+
+    A load case re-drives the SAME FEProblem (mesh, materials, BCs as
+    functions of t) through its own schedule against its own QoI data,
+    each case starting from the virgin state — independent experiments
+    whose objectives sum. The FE analogue of the MP multi-experiment
+    calibration (reference ``cmad/calibrations/al7079/
+    multi_experiment_hill_calibration.py:20-33``); designed to break
+    one-ramp identifiability collapse (S and D fall onto the S*D curve
+    under a single monotone ramp — benchmarks/notch_hosford/README.md,
+    round-4 study — while two load depths separate them:
+    ``tests/cli/test_load_cases.py``).
+    """
+    resolved = bundle.resolved
+    cases = resolved.get("load cases")
+    if not cases:
+        return [("base", 1.0, bundle.t_schedule, bundle.qoi)]
+    base_disc = resolved["discretization"]
+    out = []
+    seen: set[str] = set()
+    for case in cases:
+        name = case["name"]
+        if name in seen:
+            raise ValueError(
+                f"load cases: duplicate case name {name!r}")
+        seen.add(name)
+        disc = dict(base_disc)
+        for key in ("num steps", "step size"):
+            if key in case:
+                disc[key] = case[key]
+        ts = _load_t_schedule(disc)
+        qoi_section = {**resolved["qoi"], **(case.get("qoi") or {})}
+        qoi_cls = resolve_qoi(qoi_section["name"])
+        qoi = qoi_cls.from_deck(qoi_section, bundle.fe_problem,
+                                ts.tolist())
+        out.append((name, float(case.get("weight", 1.0)), ts, qoi))
+    return out
+
+
 def build_fe_J_of_params_flat(bundle: FEProblemBundle,
                               print_global_convergence: bool = False):
     """(params_flat_init, state_init, J_of_params_flat) for FE
@@ -174,11 +216,13 @@ def build_fe_J_of_params_flat(bundle: FEProblemBundle,
     state_init = (jnp.asarray(state.U_at(0), dtype=dtype),
                   {b: jnp.asarray(state.xi_at(0, b))
                    for b in fe_problem.models_by_block})
-    t_jax = jnp.asarray(bundle.t_schedule, dtype=dtype)
+    cases = build_fe_cases(bundle)
 
     dbc_arrays = fe_problem.kernel_arrays.dbc_arrays
-    for t in bundle.t_schedule[1:]:
-        fe_problem.dof_map.evaluate_prescribed_values(dbc_arrays, float(t))
+    for _name, _w, ts_case, _qoi in cases:
+        for t in ts_case[1:]:
+            fe_problem.dof_map.evaluate_prescribed_values(dbc_arrays,
+                                                          float(t))
 
     params_flat_init, params_by_block_of_flat = fe_params_overlay(
         fe_problem)
@@ -197,13 +241,21 @@ def build_fe_J_of_params_flat(bundle: FEProblemBundle,
             "line search": gr_section.get("line search", {}),
         },
         linear_solver_settings=bundle.resolved["linear solver"])
-    qoi = bundle.qoi
+
+    case_args = [(float(w), jnp.asarray(ts_case, dtype=dtype), qoi_c)
+                 for _name, w, ts_case, qoi_c in cases]
 
     def J_of_params_flat(params_flat, state_init, fe_arrays):
         params_by_block = params_by_block_of_flat(params_flat)
-        step = qoi.step_contribution(params_by_block, fe_arrays)
-        _, _, J = trajectory(fe_arrays, params_by_block, state_init,
-                             t_jax, qoi_step_contribution=step)
+        J = jnp.zeros((), dtype=dtype)
+        # every case re-drives the same problem from the virgin state
+        # over its own schedule; one scan instance per case in the trace
+        for w, t_case, qoi_c in case_args:
+            step = qoi_c.step_contribution(params_by_block, fe_arrays)
+            _, _, J_c = trajectory(fe_arrays, params_by_block,
+                                   state_init, t_case,
+                                   qoi_step_contribution=step)
+            J = J + w * J_c
         return J
 
     return params_flat_init, state_init, J_of_params_flat
@@ -250,14 +302,94 @@ def build_fe_stepped_vg(bundle: FEProblemBundle):
     if bundle.qoi is None:
         raise ValueError("bundle.qoi is required (non-primal subcommand)")
     gr_section = bundle.resolved["residuals"]["global residual"]
+    if "max iters per dispatch" in gr_section:
+        raise ValueError(
+            "residuals.global residual: 'max iters per dispatch' "
+            "applies to the stepped PRIMAL drive only; the stepped "
+            "sensitivity path dispatches one fused Newton (+ its "
+            "adjoint) per time step and cannot be capped below that. "
+            "Remove it for gradient/calibrate decks ('steps per "
+            "dispatch' — batching UP — is supported).")
+    steps_per_dispatch = gr_section.get("steps per dispatch")
+    if steps_per_dispatch is not None:
+        steps_per_dispatch = int(steps_per_dispatch)
+        if steps_per_dispatch < 1:
+            raise ValueError(
+                "residuals.global residual: 'steps per dispatch' must "
+                f"be >= 1; got {steps_per_dispatch}")
+    dtype = config.real_dtype()
+
+    state = FEState.from_problem(fe_problem,
+                                 t_init=float(bundle.t_schedule[0]))
+    state_init = (jnp.asarray(state.U_at(0), dtype=dtype),
+                  {b: jnp.asarray(state.xi_at(0, b))
+                   for b in fe_problem.models_by_block})
+
+    cases = build_fe_cases(bundle)
+    dbc_arrays = fe_problem.kernel_arrays.dbc_arrays
+    for _name, _w, ts_case, _qoi in cases:
+        for t in ts_case[1:]:
+            fe_problem.dof_map.evaluate_prescribed_values(dbc_arrays,
+                                                          float(t))
+
+    params_flat_init, params_by_block_of_flat = fe_params_overlay(
+        fe_problem)
+    nls_settings = {
+        "max iters": int(gr_section["nonlinear max iters"]),
+        **dict(zip(
+            ("abs tol", "rel tol"),
+            config.clamp_newton_tols(
+                float(gr_section["nonlinear absolute tol"]),
+                float(gr_section["nonlinear relative tol"]),
+                "fe_global"))),
+        "line search": gr_section.get("line search", {}),
+    }
+    case_vgs = [
+        (float(w), ts_case, build_fe_stepped_value_and_grad(
+            fe_problem, params_by_block_of_flat, qoi_c,
+            nonlinear_solver_settings=nls_settings,
+            linear_solver_settings=bundle.resolved["linear solver"],
+            steps_per_dispatch=steps_per_dispatch))
+        for _name, w, ts_case, qoi_c in cases]
+
+    if len(case_vgs) == 1:
+        _w, _ts, vg = case_vgs[0]
+        return params_flat_init, state_init, bundle.t_schedule, vg
+
+    def vg_multi(params_flat, state_init, _t_schedule):
+        """Summed multi-load-case value_and_grad: each case re-drives
+        the virgin state over ITS OWN schedule (the passed t_schedule
+        is the base deck's and is ignored)."""
+        J = 0.0
+        grad = None
+        for w, ts_case, vg_c in case_vgs:
+            J_c, g_c = vg_c(params_flat, state_init, ts_case)
+            J += w * J_c
+            grad = w * g_c if grad is None else grad + w * g_c
+        return J, grad
+
+    return params_flat_init, state_init, bundle.t_schedule, vg_multi
+
+
+def build_fe_stepped_hessian_fn(bundle: FEProblemBundle):
+    """(params_flat_init, state_init, t_schedule, hessian_fn) for the
+    STEPPED Hessian path (``fem/stepped_adjoint.py
+    build_fe_stepped_hessian``): n_active forward-over-reverse HVP
+    sweeps with per-step dispatches — the ``driver: stepped`` backend
+    of the hessian subcommand for duration-limited device links."""
+    from cmad_tpu.fem.stepped_adjoint import build_fe_stepped_hessian
+
+    fe_problem = bundle.fe_problem
+    if bundle.qoi is None:
+        raise ValueError("bundle.qoi is required (non-primal subcommand)")
+    gr_section = bundle.resolved["residuals"]["global residual"]
     for cap in ("max iters per dispatch", "steps per dispatch"):
         if cap in gr_section:
             raise ValueError(
-                f"residuals.global residual: '{cap}' applies to the "
-                "stepped PRIMAL drive only; the stepped sensitivity "
-                "path dispatches one fused Newton (+ its adjoint) per "
-                "time step and cannot be capped below that. Remove "
-                f"'{cap}' for gradient/calibrate decks.")
+                f"residuals.global residual: '{cap}' is not supported "
+                "on the stepped HESSIAN path; each dispatch is one "
+                "step's tangent forward or tangent reverse sweep. "
+                f"Remove '{cap}' for hessian decks.")
     dtype = config.real_dtype()
 
     state = FEState.from_problem(fe_problem,
@@ -272,7 +404,7 @@ def build_fe_stepped_vg(bundle: FEProblemBundle):
 
     params_flat_init, params_by_block_of_flat = fe_params_overlay(
         fe_problem)
-    vg = build_fe_stepped_value_and_grad(
+    hess = build_fe_stepped_hessian(
         fe_problem, params_by_block_of_flat, bundle.qoi,
         nonlinear_solver_settings={
             "max iters": int(gr_section["nonlinear max iters"]),
@@ -285,7 +417,7 @@ def build_fe_stepped_vg(bundle: FEProblemBundle):
             "line search": gr_section.get("line search", {}),
         },
         linear_solver_settings=bundle.resolved["linear solver"])
-    return params_flat_init, state_init, bundle.t_schedule, vg
+    return params_flat_init, state_init, bundle.t_schedule, hess
 
 
 # ----------------------------------------------------------------------

@@ -103,7 +103,7 @@ def run_primal_fe(deck_path: Path) -> int:
                 U_init=U_init, xi_init_by_block=xi_init)
             J = _accumulate_qoi_over_history(
                 bundle, state,
-                None if write_qoi is not None else qoi)
+                None if write_qoi is not None else qoi, t_schedule)
         elif driver == "stepped":
             from cmad_tpu.fem.driver import fe_quasistatic_drive_stepped
 
@@ -118,7 +118,7 @@ def run_primal_fe(deck_path: Path) -> int:
                     "global residual"].get("steps per dispatch"))
             J = _accumulate_qoi_over_history(
                 bundle, state,
-                None if write_qoi is not None else qoi)
+                None if write_qoi is not None else qoi, t_schedule)
         else:
             state, J = fe_quasistatic_drive(
                 bundle.fe_problem, t_schedule,
@@ -164,9 +164,11 @@ def run_primal_fe(deck_path: Path) -> int:
 
 
 def _accumulate_qoi_over_history(bundle: FEProblemBundle, state,
-                                 qoi) -> float:
+                                 qoi, t_schedule=None) -> float:
     """Sum an accumulating QoI's step contributions over a recorded
-    trajectory (the host driver has no in-scan accumulator)."""
+    trajectory (the host driver has no in-scan accumulator).
+    ``t_schedule`` defaults to the bundle's base schedule (load cases
+    pass their own)."""
     if qoi is None:
         return 0.0
     import jax.numpy as jnp
@@ -178,7 +180,8 @@ def _accumulate_qoi_over_history(bundle: FEProblemBundle, state,
                                     fe.kernel_arrays)
     coupled = list(fe.models_by_block)
     J = 0.0
-    ts = [float(t) for t in bundle.t_schedule]
+    ts = [float(t) for t in (bundle.t_schedule if t_schedule is None
+                             else t_schedule)]
     for k in range(1, len(ts)):
         xi = {b: jnp.asarray(state.xi_at(k, b)) for b in coupled}
         xi_prev = {b: jnp.asarray(state.xi_at(k - 1, b))
@@ -192,28 +195,36 @@ def _accumulate_qoi_over_history(bundle: FEProblemBundle, state,
 def run_objective_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "objective")
     if _fe_driver(bundle) == "stepped":
+        from cmad_tpu.cli.fe_common import build_fe_cases
         from cmad_tpu.fem.driver import fe_quasistatic_drive_stepped
 
         gr = bundle.resolved["residuals"]["global residual"]
-        state, _ = fe_quasistatic_drive_stepped(
-            bundle.fe_problem, bundle.t_schedule.tolist(),
-            nonlinear_solver_settings=_nls_settings(bundle),
-            linear_solver_settings=bundle.resolved["linear solver"],
-            max_iters_per_dispatch=gr.get("max iters per dispatch"),
-            steps_per_dispatch=gr.get("steps per dispatch"))
-        J = _accumulate_qoi_over_history(bundle, state, bundle.qoi)
+        J = 0.0
+        for _name, w, ts_case, qoi_c in build_fe_cases(bundle):
+            state, _ = fe_quasistatic_drive_stepped(
+                bundle.fe_problem, ts_case.tolist(),
+                nonlinear_solver_settings=_nls_settings(bundle),
+                linear_solver_settings=bundle.resolved["linear solver"],
+                max_iters_per_dispatch=gr.get("max iters per dispatch"),
+                steps_per_dispatch=gr.get("steps per dispatch"))
+            J += w * _accumulate_qoi_over_history(bundle, state, qoi_c,
+                                                  ts_case)
     elif _fe_driver(bundle) == "host":
         # the objective VALUE is a primal drive + QoI accumulation, so
         # the host driver serves it honestly (one dispatch per Newton
         # iteration) instead of silently tracing the fused scan the
         # user opted out of
+        from cmad_tpu.cli.fe_common import build_fe_cases
         from cmad_tpu.fem.nonlinear_solver import fe_quasistatic_drive_host
 
-        state, _ = fe_quasistatic_drive_host(
-            bundle.fe_problem, bundle.t_schedule.tolist(),
-            nonlinear_solver_settings=_nls_settings(bundle),
-            linear_solver_settings=bundle.resolved["linear solver"])
-        J = _accumulate_qoi_over_history(bundle, state, bundle.qoi)
+        J = 0.0
+        for _name, w, ts_case, qoi_c in build_fe_cases(bundle):
+            state, _ = fe_quasistatic_drive_host(
+                bundle.fe_problem, ts_case.tolist(),
+                nonlinear_solver_settings=_nls_settings(bundle),
+                linear_solver_settings=bundle.resolved["linear solver"])
+            J += w * _accumulate_qoi_over_history(bundle, state, qoi_c,
+                                                  ts_case)
     else:
         params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
         J = float(jit(J_of)(params_flat, state_init,
@@ -267,16 +278,22 @@ def run_gradient_fe(deck_path: Path) -> int:
 
 def run_hessian_fe(deck_path: Path) -> int:
     bundle = build_fe_problem_from_deck(deck_path, "hessian")
+    _require_sensitivity_driver(bundle, "hessian")
     if _fe_driver(bundle) == "stepped":
-        raise ValueError(
-            "residuals.global residual: driver 'stepped' is not "
-            "available for the hessian subcommand — second derivatives "
-            "run through the fused scan trajectory only. Remove "
-            "'driver: stepped' (or compute gradients, which the "
-            "stepped path does support).")
-    params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
-    hess = np.asarray(jit(jax.hessian(J_of, argnums=0))(
-        params_flat, state_init, bundle.fe_problem.kernel_arrays))
+        # per-step forward-over-reverse HVP columns
+        # (fem/stepped_adjoint.py build_fe_stepped_hessian) — the
+        # duration-bounded path; parity with the fused-scan hessian is
+        # pinned by tests/fem/test_stepped_hessian.py
+        from cmad_tpu.cli.fe_common import build_fe_stepped_hessian_fn
+
+        params_flat, state_init, ts, hessian_fn = \
+            build_fe_stepped_hessian_fn(bundle)
+        hess, _max_asym = hessian_fn(params_flat, state_init, ts)
+        hess = np.asarray(hess)
+    else:
+        params_flat, state_init, J_of = build_fe_J_of_params_flat(bundle)
+        hess = np.asarray(jit(jax.hessian(J_of, argnums=0))(
+            params_flat, state_init, bundle.fe_problem.kernel_arrays))
     out_dir, prefix, fmt = resolve_output(bundle.resolved)
     write_resolved_deck(out_dir, prefix, bundle.resolved)
     write_hessian(out_dir, prefix, hess, fmt)

@@ -67,7 +67,9 @@ def build_fe_stepped_value_and_grad(
         nonlinear_solver_settings: dict[str, Any] | None = None,
         linear_solver_settings: dict[str, Any] | None = None,
         reuse_primal: bool = True,
-        checkpoint_offload: bool = False):
+        checkpoint_offload: bool = False,
+        steps_per_dispatch: int | None = None,
+        fe_arrays=None):
     """Host-loop ``(J, dJ/dparams_flat)`` with per-step dispatches.
 
     ``params_by_block_of_flat`` maps the flat active-parameter vector to
@@ -88,10 +90,25 @@ def build_fe_stepped_value_and_grad(
     trades a 2x state transfer per step for an O(1)-in-steps device
     footprint).
 
+    ``steps_per_dispatch`` (W) batches W consecutive time steps into
+    ONE forward program and W reverse steps into ONE reverse program
+    (a ``lax.scan`` over the window in each direction), paying
+    ``2 ceil(n_steps/W)`` dispatches per evaluation instead of
+    ``2 n_steps`` — the sensitivity-side counterpart of the stepped
+    PRIMAL driver's same-named knob. Use it when single steps sit well
+    under a remote link's execution ceiling and the per-dispatch
+    latency dominates the wall (measured r4: the 480-tet Y/S/D
+    calibration spent ~30 ms/dispatch x 2T programs per evaluation,
+    ``benchmarks/notch_hosford/calibrate_scale_480_tpu_ysd.json``).
+    The checkpoint set and the math are IDENTICAL to W=1 — windows
+    only re-batch the dispatches.
+
     Returns ``value_and_grad(params_flat, state_init, t_schedule) ->
     (float J, np.ndarray grad)``. Each time step issues one forward and
-    one reverse device program; both compile once and are reused for
-    every step (t is a traced argument).
+    one reverse device program (W steps' worth per program when
+    windowed); programs compile once per window width (at most two: W
+    and one remainder) and are reused for every window (t is a traced
+    argument).
     """
     nls = {**default_nonlinear_settings(),
            **(nonlinear_solver_settings or {})}
@@ -99,6 +116,12 @@ def build_fe_stepped_value_and_grad(
            **(linear_solver_settings or {})}
     nls_frozen, lss_frozen = freeze_settings(nls), freeze_settings(lss)
     dtype = config.real_dtype()
+    # fe_arrays override: an element-SHARDED re-placement of the
+    # problem's kernel arrays (parallel/fe.py shard_fe_arrays) runs the
+    # same per-step programs SPMD over a device mesh (parity:
+    # tests/parallel/test_sharded_fe_gradient.py); None = the
+    # problem's own (single-device) arrays
+    fe_arrays_override = fe_arrays
 
     def step_out(params_flat, U_prev, xi_prev, t, t_prev, fe_arrays):
         params_by_block = params_by_block_of_flat(params_flat)
@@ -146,14 +169,138 @@ def build_fe_stepped_value_and_grad(
 
     bwd = jax.jit(step_pullback)
 
+    # ---------------- windowed programs (steps_per_dispatch) --------
+    one_const = jnp.ones((), dtype=dtype)
+
+    def window_fwd(params_flat, U0, xi0, ts_pairs, fe_arrays):
+        """W fused steps in ONE program; ``ts_pairs`` is (w, 2) rows of
+        (t_prev, t). Emits the per-step history the reverse window
+        needs (same checkpoint set as W=1, batched)."""
+
+        def body(carry, tp):
+            U_prev, xi_prev = carry
+            U, xi, j = step_out(params_flat, U_prev, xi_prev, tp[1],
+                                tp[0], fe_arrays)
+            return (U, xi), (U, xi, j)
+
+        (U_f, xi_f), (U_s, xi_s, js) = jax.lax.scan(
+            body, (U0, xi0), ts_pairs)
+        return U_f, xi_f, U_s, xi_s, jnp.sum(js)
+
+    def window_bwd(params_flat, U_entry, xi_entry, U_s, xi_s, ts_pairs,
+                   fe_arrays, cot_U, cot_xi):
+        """W reverse steps in ONE program: scan (reversed) over the
+        window's stored per-step solutions, accumulating the parameter
+        cotangent; step-entry states are the stored history shifted by
+        one (window entry prepended)."""
+        U0_s = jnp.concatenate([U_entry[None], U_s[:-1]])
+        xi0_s = {b: jnp.concatenate([xi_entry[b][None], xi_s[b][:-1]])
+                 for b in xi_s}
+
+        def body(carry, inp):
+            cU, cxi, dp = carry
+            U0, x0, U_star, tp = inp
+
+            if reuse_primal:
+                def f(p, a, b):
+                    return step_out_at(p, a, b, tp[1], tp[0], fe_arrays,
+                                       U_star)
+            else:
+                def f(p, a, b):
+                    return step_out(p, a, b, tp[1], tp[0], fe_arrays)
+            _, pull = jax.vjp(f, params_flat, U0, x0)
+            dpk, dU0, dx0 = pull((cU, cxi, one_const))
+            return (dU0, dx0, dp + dpk), None
+
+        (cot_U, cot_xi, dp), _ = jax.lax.scan(
+            body, (cot_U, cot_xi, jnp.zeros_like(params_flat)),
+            (U0_s, xi0_s, U_s, ts_pairs), reverse=True)
+        return dp, cot_U, cot_xi
+
+    wfwd, wbwd = jax.jit(window_fwd), jax.jit(window_bwd)
+
+    def value_and_grad_windowed(params_flat, state_init,
+                                t_schedule: Sequence[float]):
+        from cmad_tpu.fem.xi_carrier import pack_xi_by_block
+
+        W = int(steps_per_dispatch)
+        fe_arrays = (fe_problem.kernel_arrays
+                     if fe_arrays_override is None
+                     else fe_arrays_override)
+        t_host = [float(t) for t in t_schedule]
+        params_flat = jnp.asarray(params_flat, dtype=dtype)
+        U_prev, xi_prev = state_init
+        U_prev = jnp.asarray(U_prev, dtype=dtype)
+        xi_prev = pack_xi_by_block(
+            fe_problem, {k: jnp.asarray(v) for k, v in xi_prev.items()})
+
+        def _store(x):
+            return jax.tree.map(np.asarray, x) if checkpoint_offload \
+                else x
+
+        def _load(x):
+            return jax.tree.map(jnp.asarray, x) if checkpoint_offload \
+                else x
+
+        pairs_all = [(t_host[k - 1], t_host[k])
+                     for k in range(1, len(t_host))]
+        windows = [pairs_all[lo:lo + W]
+                   for lo in range(0, len(pairs_all), W)]
+
+        # forward sweep: one program per window; keep each window's
+        # entry state + stacked per-step history
+        ckpts = []
+        J = 0.0
+        for pairs in windows:
+            ts_pairs = jnp.asarray(pairs, dtype=dtype)
+            entry = (U_prev, xi_prev)
+            U_prev, xi_prev, U_s, xi_s, jw = wfwd(
+                params_flat, U_prev, xi_prev, ts_pairs, fe_arrays)
+            J += float(jw)  # host sync per window
+            ckpts.append(_store((entry, U_s, xi_s, ts_pairs)))
+
+        # reverse sweep: one program per window
+        grad = jnp.zeros_like(params_flat)
+        cot_U = jnp.zeros_like(U_prev)
+        cot_xi = jax.tree.map(jnp.zeros_like, xi_prev)
+        for ck in reversed(ckpts):
+            (U_entry, xi_entry), U_s, xi_s, ts_pairs = _load(ck)
+            dp, cot_U, cot_xi = wbwd(
+                params_flat, U_entry, xi_entry, U_s, xi_s, ts_pairs,
+                fe_arrays, cot_U, cot_xi)
+            grad = grad + dp
+            _ = float(grad[0]) if grad.size else 0.0  # host sync
+        return J, np.asarray(grad, dtype=np.float64)
+
     def value_and_grad(params_flat, state_init,
                        t_schedule: Sequence[float]):
-        fe_arrays = fe_problem.kernel_arrays
+        if steps_per_dispatch is not None:
+            if int(steps_per_dispatch) < 1:
+                raise ValueError(
+                    "steps_per_dispatch must be >= 1; got "
+                    f"{steps_per_dispatch}")
+            return value_and_grad_windowed(params_flat, state_init,
+                                           t_schedule)
+        return value_and_grad_stepwise(params_flat, state_init,
+                                       t_schedule)
+
+    def value_and_grad_stepwise(params_flat, state_init,
+                                t_schedule: Sequence[float]):
+        fe_arrays = (fe_problem.kernel_arrays
+                     if fe_arrays_override is None
+                     else fe_arrays_override)
         ts = [jnp.asarray(float(t), dtype=dtype) for t in t_schedule]
         params_flat = jnp.asarray(params_flat, dtype=dtype)
         U_prev, xi_prev = state_init
         U_prev = jnp.asarray(U_prev, dtype=dtype)
-        xi_prev = {k: jnp.asarray(v) for k, v in xi_prev.items()}
+        # carrier-resident state (fem/xi_carrier.py): packed once here;
+        # every forward/reverse step program and every checkpoint then
+        # holds the component-major kernel layout with zero per-step
+        # relayouts (cotangents inherit the carrier shapes)
+        from cmad_tpu.fem.xi_carrier import pack_xi_by_block
+
+        xi_prev = pack_xi_by_block(
+            fe_problem, {k: jnp.asarray(v) for k, v in xi_prev.items()})
 
         # forward sweep with step-boundary checkpoints (optionally
         # host-offloaded so the device footprint stays O(1) in steps)
@@ -198,3 +345,186 @@ def build_fe_stepped_value_and_grad(
         return J, np.asarray(grad, dtype=np.float64)
 
     return value_and_grad
+
+
+def build_fe_stepped_hvp(
+        fe_problem: FEProblem,
+        params_by_block_of_flat: Callable[[JaxArray],
+                                          Mapping[str, Params]],
+        qoi,
+        nonlinear_solver_settings: dict[str, Any] | None = None,
+        linear_solver_settings: dict[str, Any] | None = None):
+    """Hessian-vector products with per-step dispatches
+    (forward-over-reverse through the stepped adjoint).
+
+    The fused-scan Hessian (``cli/fe_subcommands.py run_hessian_fe``,
+    matching reference ``cmad/cli/hessian.py:44`` +
+    ``cmad/fem/nonlinear_solver.py:416-542``) traces second
+    derivatives of the WHOLE trajectory into one device program — the
+    right choice on directly-attached hardware and the scale-limited
+    one through duration-ceilinged links (the same limit that
+    motivated the stepped gradient). This builder computes the same
+    ``H @ v`` exactly, with per-step dispatch granularity:
+
+    - **tangent forward sweep**: one program per step — ``jax.jvp`` of
+      the step map in direction ``v`` (the FE Newton's IFT
+      ``custom_jvp`` supplies the exact solution tangent), storing
+      each step's state AND its directional tangent (2x the gradient
+      path's checkpoint set);
+    - **tangent reverse sweep**: one program per step — ``jax.jvp``
+      over the ``jax.vjp`` of the step map, seeded with the stored
+      state/tangent pair and the propagated cotangent/cotangent-dot
+      pair; the ``dp_dot`` stream sums to ``H v``.
+
+    The reverse steps RE-SOLVE the step's Newton inside the program
+    (the ``reuse_primal=False`` form) rather than differentiating
+    through the stored solution: ``_fe_solution_at_ad``'s rule treats
+    ``U*`` as data and DROPS its tangent, which is exact for first
+    derivatives but would lose the solution-movement terms
+    ``dU*/dp . v`` that second derivatives need. Cost per reverse
+    step: ~one Newton solve + a handful of linearization
+    assemblies/solves — a small constant factor over the gradient's
+    reverse step, each dispatch still bounded.
+
+    Returns ``hvp(params_flat, state_init, t_schedule, v) ->
+    (float J, np.ndarray grad, np.ndarray Hv)`` — the gradient rides
+    along for free (it is the primal of the tangent reverse sweep).
+    Consistency: the forward sweep's ``J_dot`` equals ``grad @ v`` to
+    AD precision (asserted in ``tests/fem/test_stepped_hessian.py``).
+    """
+    nls = {**default_nonlinear_settings(),
+           **(nonlinear_solver_settings or {})}
+    lss = {**DEFAULT_LINEAR_SOLVER_SETTINGS,
+           **(linear_solver_settings or {})}
+    nls_frozen, lss_frozen = freeze_settings(nls), freeze_settings(lss)
+    dtype = config.real_dtype()
+
+    def step_out(params_flat, U_prev, xi_prev, t, t_prev, fe_arrays):
+        params_by_block = params_by_block_of_flat(params_flat)
+        U, xi_solved = _fe_newton_solve_ad(
+            fe_problem, fe_arrays, params_by_block, U_prev, xi_prev, t,
+            nls_frozen, lss_frozen)
+        xi = {**xi_prev, **xi_solved}
+        if qoi is None:
+            j = jnp.zeros((), dtype=dtype)
+        else:
+            contrib = qoi.step_contribution(params_by_block, fe_arrays)
+            j = contrib(U, U_prev, xi, xi_prev, t, t_prev)
+        return U, xi, j
+
+    def step_out_tangent(params_flat, v, U_prev, U_dot, xi_prev, xi_dot,
+                         t, t_prev, fe_arrays):
+        (U, xi, j), (U_d, xi_d, j_d) = jax.jvp(
+            lambda p, a, b: step_out(p, a, b, t, t_prev, fe_arrays),
+            (params_flat, U_prev, xi_prev), (v, U_dot, xi_dot))
+        return U, U_d, xi, xi_d, j, j_d
+
+    one = jnp.ones((), dtype=dtype)
+
+    def step_pullback_tangent(params_flat, v, U0, U0_dot, x0, x0_dot,
+                              t, t_prev, fe_arrays, cot_U, cot_U_dot,
+                              cot_xi, cot_xi_dot):
+        def pull_fn(p, a, b, cU, cxi):
+            def f(p_, a_, b_):
+                return step_out(p_, a_, b_, t, t_prev, fe_arrays)
+            _, pull = jax.vjp(f, p, a, b)
+            return pull((cU, cxi, one))
+
+        ((dp, dU0, dx0),
+         (dp_dot, dU0_dot, dx0_dot)) = jax.jvp(
+            pull_fn, (params_flat, U0, x0, cot_U, cot_xi),
+            (v, U0_dot, x0_dot, cot_U_dot, cot_xi_dot))
+        return dp, dp_dot, dU0, dU0_dot, dx0, dx0_dot
+
+    tfwd = jax.jit(step_out_tangent)
+    tbwd = jax.jit(step_pullback_tangent)
+
+    def hvp(params_flat, state_init, t_schedule: Sequence[float], v):
+        from cmad_tpu.fem.xi_carrier import pack_xi_by_block
+
+        fe_arrays = fe_problem.kernel_arrays
+        ts = [jnp.asarray(float(t), dtype=dtype) for t in t_schedule]
+        params_flat = jnp.asarray(params_flat, dtype=dtype)
+        v = jnp.asarray(v, dtype=dtype)
+        U_prev, xi_prev = state_init
+        U_prev = jnp.asarray(U_prev, dtype=dtype)
+        xi_prev = pack_xi_by_block(
+            fe_problem, {k: jnp.asarray(v_) for k, v_ in
+                         xi_prev.items()})
+        U_dot = jnp.zeros_like(U_prev)
+        xi_dot = jax.tree.map(jnp.zeros_like, xi_prev)
+
+        # tangent forward sweep: checkpoints hold state AND tangent
+        states = [(U_prev, U_dot, xi_prev, xi_dot)]
+        J = 0.0
+        J_dot = 0.0
+        for k in range(1, len(ts)):
+            U_prev, U_dot, xi_prev, xi_dot, j, j_d = tfwd(
+                params_flat, v, U_prev, U_dot, xi_prev, xi_dot, ts[k],
+                ts[k - 1], fe_arrays)
+            J += float(j)
+            J_dot += float(j_d)  # host sync per step
+            states.append((U_prev, U_dot, xi_prev, xi_dot))
+
+        # tangent reverse sweep
+        grad = jnp.zeros_like(params_flat)
+        hv = jnp.zeros_like(params_flat)
+        cot_U = jnp.zeros_like(U_prev)
+        cot_U_dot = jnp.zeros_like(U_prev)
+        cot_xi = jax.tree.map(jnp.zeros_like, xi_prev)
+        cot_xi_dot = jax.tree.map(jnp.zeros_like, xi_prev)
+        for k in range(len(ts) - 1, 0, -1):
+            U0, U0_dot, x0, x0_dot = states[k - 1]
+            (dp, dp_dot, cot_U, cot_U_dot, cot_xi, cot_xi_dot) = tbwd(
+                params_flat, v, U0, U0_dot, x0, x0_dot, ts[k],
+                ts[k - 1], fe_arrays, cot_U, cot_U_dot, cot_xi,
+                cot_xi_dot)
+            grad = grad + dp
+            hv = hv + dp_dot
+            _ = float(hv[0]) if hv.size else 0.0  # host sync per step
+        return (J, np.asarray(grad, dtype=np.float64),
+                np.asarray(hv, dtype=np.float64)), J_dot
+
+    def hvp_public(params_flat, state_init, t_schedule, v):
+        (J, grad, hv), _ = hvp(params_flat, state_init, t_schedule, v)
+        return J, grad, hv
+
+    hvp_public._with_jdot = hvp  # consistency hook for tests
+    return hvp_public
+
+
+def build_fe_stepped_hessian(
+        fe_problem: FEProblem,
+        params_by_block_of_flat: Callable[[JaxArray],
+                                          Mapping[str, Params]],
+        qoi,
+        nonlinear_solver_settings: dict[str, Any] | None = None,
+        linear_solver_settings: dict[str, Any] | None = None):
+    """Full (n_active, n_active) Hessian by ``n_active`` stepped HVP
+    columns (``H e_j``), per-step dispatch granularity throughout —
+    the ``cmad hessian`` backend for ``driver: stepped``. The result is
+    symmetrized (``(H + H^T)/2``): columns are exact HVPs, so the
+    antisymmetric part is pure float noise and its magnitude is
+    reported back to the caller for a cheap self-check.
+
+    Returns ``hessian(params_flat, state_init, t_schedule) ->
+    (np.ndarray H, float max_asym)``.
+    """
+    hvp = build_fe_stepped_hvp(
+        fe_problem, params_by_block_of_flat, qoi,
+        nonlinear_solver_settings=nonlinear_solver_settings,
+        linear_solver_settings=linear_solver_settings)
+
+    def hessian(params_flat, state_init, t_schedule: Sequence[float]):
+        n = int(np.asarray(params_flat).shape[0])
+        cols = []
+        for j in range(n):
+            e = np.zeros(n, dtype=np.float64)
+            e[j] = 1.0
+            _, _, hv = hvp(params_flat, state_init, t_schedule, e)
+            cols.append(hv)
+        H = np.stack(cols, axis=1)
+        max_asym = float(np.max(np.abs(H - H.T))) if n else 0.0
+        return 0.5 * (H + H.T), max_asym
+
+    return hessian

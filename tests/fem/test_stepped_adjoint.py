@@ -213,6 +213,32 @@ def test_reuse_primal_matches_resolve(tmp_path, cube_exo, truth_data):
     np.testing.assert_allclose(g_off, g_fast, rtol=1e-10)
 
 
+def test_windowed_stepped_gradient_matches_scan(tmp_path, cube_exo,
+                                                truth_data):
+    """steps per dispatch on the SENSITIVITY path: W forward + W
+    reverse steps per program must reproduce the per-step stepped
+    gradient (same math, re-batched dispatches) — including a
+    remainder window (W=2 over 3 steps)."""
+    grads, Js = {}, {}
+    for tag, extra in (("stepped", {}),
+                       ("w2", {"steps per dispatch": 2}),
+                       ("w8", {"steps per dispatch": 8})):
+        out = tmp_path / f"out_{tag}"
+        deck = _sensitivity_deck(tmp_path, cube_exo, truth_data, out,
+                                 "stepped")
+        deck["residuals"]["global residual"].update(extra)
+        deck_path = _write(tmp_path, deck, f"deck_{tag}.yaml")
+        assert cmad_main(["gradient", str(deck_path)]) == 0
+        grads[tag] = np.load(out / "grad.npy")
+
+    assert np.linalg.norm(grads["stepped"]) > 0.0
+    # identical step math, only dispatch batching differs
+    np.testing.assert_allclose(grads["w2"], grads["stepped"], rtol=1e-6)
+    # W > n_steps: one window is the whole schedule (the fused scan
+    # plus per-step checkpoints)
+    np.testing.assert_allclose(grads["w8"], grads["stepped"], rtol=1e-6)
+
+
 def test_host_driver_rejected_for_sensitivities(tmp_path, cube_exo,
                                                 truth_data):
     """driver: host is primal-only; gradient/calibrate decks naming it
@@ -230,16 +256,17 @@ def test_host_driver_rejected_for_sensitivities(tmp_path, cube_exo,
         cmad_main(["calibrate", str(deck_path)])
 
 
-def test_stepped_hessian_rejected_actionably(tmp_path, cube_exo,
-                                             truth_data):
-    """hessian has no stepped path; a deck asking for one must error
-    with guidance, not silently fall back to the fused scan."""
+def test_stepped_hessian_rejects_dispatch_caps(tmp_path, cube_exo,
+                                               truth_data):
+    """The stepped hessian path (tests/fem/test_stepped_hessian.py
+    pins its values) supports neither dispatch cap; decks naming one
+    must error actionably."""
     out = tmp_path / "hess"
     deck = _sensitivity_deck(tmp_path, cube_exo, truth_data, out,
                              "stepped")
-    deck["qoi"].pop("weight")  # keep the deck minimal
+    deck["residuals"]["global residual"]["steps per dispatch"] = 2
     deck_path = _write(tmp_path, deck, "deck_hess.yaml")
-    with pytest.raises(ValueError, match="stepped"):
+    with pytest.raises(ValueError, match="HESSIAN"):
         cmad_main(["hessian", str(deck_path)])
 
 
