@@ -50,11 +50,11 @@ _SECTIONS: dict[tuple[str, str], tuple[list[str], list[str]]] = {
     ("fe", "objective"): (
         ["problem", "discretization", "residuals", "qoi"],
         ["output", "dirichlet bcs", "surface flux bcs", "body forces",
-         "linear solver"]),
+         "linear solver", "load cases"]),
     ("fe", "gradient"): (
         ["problem", "discretization", "residuals", "qoi"],
         ["output", "dirichlet bcs", "surface flux bcs", "body forces",
-         "linear solver"]),
+         "linear solver", "load cases"]),
     ("fe", "hessian"): (
         ["problem", "discretization", "residuals", "qoi"],
         ["output", "dirichlet bcs", "surface flux bcs", "body forces",
@@ -62,7 +62,7 @@ _SECTIONS: dict[tuple[str, str], tuple[list[str], list[str]]] = {
     ("fe", "calibrate"): (
         ["problem", "discretization", "residuals", "qoi", "optimizer"],
         ["output", "dirichlet bcs", "surface flux bcs", "body forces",
-         "linear solver"]),
+         "linear solver", "load cases"]),
 }
 
 
