@@ -48,6 +48,18 @@ def main() -> None:
                     help="override the deck's time-step count (same "
                          "final load): more steps sample the hardening "
                          "curve at more depths")
+    ap.add_argument("--steps-per-dispatch", type=int, default=None,
+                    help="window the stepped adjoint: W forward + W "
+                         "reverse steps per device program (amortizes "
+                         "the link's ~30 ms dispatch floor on small "
+                         "meshes)")
+    ap.add_argument("--two-depth", action="store_true",
+                    help="multi-load-case calibration ('load cases' "
+                         "deck section): the deck's schedule is the "
+                         "SHALLOW case and a 2x-step-size DEEP case "
+                         "is added, each with its own truth data — "
+                         "the designed answer to the r4 single-ramp "
+                         "S/D identifiability collapse")
     args = ap.parse_args()
     mesh_path = args.mesh.resolve()
 
@@ -96,19 +108,29 @@ def main() -> None:
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
-        # 1) truth primal at Y_TRUE (stepped driver)
-        deck = yaml.safe_load(yaml.safe_dump(base))
-        deck["output"] = {"path": "truth",
-                          "exodus filename": "truth.exo",
-                          "global residual": ["u"]}
-        Path("deck_truth.yaml").write_text(yaml.safe_dump(deck))
-        t0 = time.perf_counter()
-        assert cmad_main(["primal", "deck_truth.yaml"]) == 0
-        primal_wall = time.perf_counter() - t0
-        res = read_results(Path("truth/truth.exo"),
-                           nodal_field_specs=[FieldSpec("u",
-                                                        VarType.VECTOR)])
-        np.save("u_data.npy", res.nodal["u"])
+        # 1) truth primal(s) at Y_TRUE (stepped driver); --two-depth
+        # adds a second truth at 2x the step size (twice the final
+        # load, same step count)
+        depths = {"": 1.0}
+        if args.two_depth:
+            depths = {"_shallow": 1.0, "_deep": 2.0}
+        base_dt = float(base["discretization"]["step size"])
+        primal_wall = 0.0
+        for tag_d, scale in depths.items():
+            deck = yaml.safe_load(yaml.safe_dump(base))
+            deck["discretization"]["step size"] = base_dt * scale
+            deck["output"] = {"path": f"truth{tag_d}",
+                              "exodus filename": "truth.exo",
+                              "global residual": ["u"]}
+            Path(f"deck_truth{tag_d}.yaml").write_text(
+                yaml.safe_dump(deck))
+            t0 = time.perf_counter()
+            assert cmad_main(["primal", f"deck_truth{tag_d}.yaml"]) == 0
+            primal_wall += time.perf_counter() - t0
+            res = read_results(Path(f"truth{tag_d}/truth.exo"),
+                               nodal_field_specs=[FieldSpec(
+                                   "u", VarType.VECTOR)])
+            np.save(f"u_data{tag_d}.npy", res.nodal["u"])
 
         # 2) calibrate from offset starts through the stepped adjoint
         deck = yaml.safe_load(yaml.safe_dump(base))
@@ -123,9 +145,23 @@ def main() -> None:
                       "transform": {"log": 10.0}},
                 "D": {"value": 1.3, "active": True,
                       "transform": {"log": 2.0}}}
-        deck["qoi"] = {"name": "fe_displacement_match",
-                       "data_file": "u_data.npy",
-                       "weight": args.weight}
+        if args.two_depth:
+            deck["qoi"] = {"name": "fe_displacement_match",
+                           "data_file": "u_data_shallow.npy",
+                           "weight": args.weight}
+            deck["load cases"] = [
+                {"name": "shallow"},
+                {"name": "deep",
+                 "step size": base_dt * 2.0,
+                 "qoi": {"data_file": "u_data_deep.npy"}},
+            ]
+        else:
+            deck["qoi"] = {"name": "fe_displacement_match",
+                           "data_file": "u_data.npy",
+                           "weight": args.weight}
+        if args.steps_per_dispatch is not None:
+            deck["residuals"]["global residual"][
+                "steps per dispatch"] = args.steps_per_dispatch
         deck["optimizer"] = {"algorithm": "L-BFGS-B",
                              "options": {"maxiter": args.maxiter,
                                          "ftol": 1.0e-14,
@@ -178,8 +214,17 @@ def main() -> None:
     }
     if args.load is not None:
         out["load_y"] = args.load
+    if args.steps_per_dispatch is not None:
+        out["steps_per_dispatch"] = args.steps_per_dispatch
+    if args.two_depth:
+        out["load_cases"] = ["shallow (deck schedule)",
+                             "deep (2x step size)"]
     tag = f"{n_elems}_{backend}" + ("" if args.params == "y"
                                     else f"_{args.params}")
+    if args.two_depth:
+        tag += "_twodepth"
+    if args.steps_per_dispatch is not None:
+        tag += f"_w{args.steps_per_dispatch}"
     (HERE / f"calibrate_scale_{tag}.json").write_text(
         json.dumps(out, indent=2))
     print(json.dumps(out))
