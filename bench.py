@@ -560,15 +560,34 @@ def _worker_main() -> int:
 
     ups_fe = timed_chain(fe_chain, xi_aos, de_soa, scalars)
     _stage(f"fe dispatch done: {ups_fe:.3g} ups")
+    # per-step traffic: read xi (8 rows f32) + read de (8) + write xi
+    # (8) = 96 B/update — unlike the history drive (one pallas_call,
+    # state VMEM-resident across steps, 33 B/update amortized), a
+    # chained per-STEP dispatch must round-trip state through HBM
+    # every step (the FE Newton sits between steps), so its roofline
+    # is bandwidth x (1/96B). Report the operating point against the
+    # bandwidth the history kernel just sustained in THIS run.
+    fe_bpu = 96
+    sustained_gbps = ups * bpu / 1e9
     _publish(
         fe_dispatch_updates_per_sec=round(ups_fe, 1),
         fe_dispatch_vs_baseline=_vs(ups_fe),
+        fe_dispatch_bytes_per_update=fe_bpu,
+        fe_dispatch_gbps=round(ups_fe * fe_bpu / 1e9, 1),
+        fe_dispatch_pct_sustained_bw=round(
+            100.0 * ups_fe * fe_bpu / 1e9 / sustained_gbps, 1)
+        if sustained_gbps else None,
         fe_dispatch_note="fem/j2_block.py COUPLED fast path boundary "
                          "as the drivers now dispatch it: ONE AoS->SoA "
                          "pack at trajectory entry, carrier-resident "
                          "differentiable SoA kernel steps "
                          "(fem/xi_carrier.py), ONE unpack at history "
-                         "materialization")
+                         "materialization. Per-step dispatches are "
+                         "bandwidth-bound at 96 B/update (state must "
+                         "cross HBM between FE Newton steps); "
+                         "fe_dispatch_pct_sustained_bw is the fraction "
+                         "of the bandwidth the whole-history kernel "
+                         "sustained this run")
 
     # ---------------- residual sanity check ----------------
     # one SoA kernel step from the zero state, checked against the
