@@ -576,7 +576,7 @@ def _worker_main() -> int:
         fe_dispatch_gbps=round(ups_fe * fe_bpu / 1e9, 1),
         fe_dispatch_pct_sustained_bw=round(
             100.0 * ups_fe * fe_bpu / 1e9 / sustained_gbps, 1)
-        if sustained_gbps else None,
+        if (on_tpu and sustained_gbps) else None,
         fe_dispatch_note="fem/j2_block.py COUPLED fast path boundary "
                          "as the drivers now dispatch it: ONE AoS->SoA "
                          "pack at trajectory entry, carrier-resident "
